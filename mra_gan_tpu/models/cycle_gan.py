@@ -1,0 +1,299 @@
+"""Functional CycleGAN: the reference's optimize_parameters
+(reference models/cycle_gan_model.py:227-240) re-expressed as ONE pure,
+jittable train step.
+
+One call fuses — into a single XLA program — what the reference runs as ~10
+separate torch graphs per iteration: the 4 generator forwards + 2 identity
+forwards, the generator backward/Adam step, both image-pool queries, the 4
+discriminator forwards, and the discriminator backward/Adam step
+(reference models/cycle_gan_model.py:121-240).
+
+Semantics preserved:
+- G update sees fakes produced by the *old* G and frozen D
+  (set_requires_grad(D, False), reference :231); the D update then trains on
+  those same (pooled) fakes with stop_gradient, matching ``fake.detach()``
+  (reference :143).
+- ImagePool 50%-swap / fill-first replay buffer (reference :8-35) as an
+  on-device ring buffer scanned sequentially over the batch.
+- Separate Adam chains for {G_A,G_B} and {D_A,D_B} with shared lr/betas
+  (reference :107-110); lr is an argument so epoch-level schedules
+  (lambda/step/plateau/cosine) stay outside the compiled step.
+- Correlation-coefficient losses are computed for logging but excluded from
+  loss_G, exactly like the reference (:217-218 computed, :223 sum without).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.losses import cor_coe_loss, gan_loss, l1_loss
+from .networks import define_d, define_g
+
+
+@dataclasses.dataclass(frozen=True)
+class CycleGANConfig:
+    """Static hyper-parameters (hashable; closed over by the jitted step)."""
+
+    input_nc: int = 1
+    output_nc: int = 1
+    ngf: int = 32
+    ndf: int = 32
+    net_g: str = "resnet_6blocks"
+    net_d: str = "n_layers"
+    n_layers_d: int = 3
+    norm: str = "instance"
+    no_dropout: bool = True
+    init_type: str = "normal"
+    init_gain: float = 0.02
+    gan_mode: str = "lsgan"  # no_lsgan -> "vanilla" (+ sigmoid in D)
+    lambda_a: float = 10.0
+    lambda_b: float = 10.0
+    lambda_identity: float = 0.5
+    lambda_co_a: float = 2.0
+    lambda_co_b: float = 2.0
+    pool_size: int = 50
+    beta1: float = 0.5
+    dtype: Any = jnp.float32
+
+    def build_nets(self):
+        g_a = define_g(self.output_nc, self.ngf, self.net_g, self.norm,
+                       not self.no_dropout, self.init_type, self.init_gain, self.dtype)
+        g_b = define_g(self.input_nc, self.ngf, self.net_g, self.norm,
+                       not self.no_dropout, self.init_type, self.init_gain, self.dtype)
+        use_sigmoid = self.gan_mode == "vanilla"
+        d_a = define_d(self.ndf, self.net_d, self.n_layers_d, self.norm,
+                       use_sigmoid, self.init_type, self.init_gain, self.dtype)
+        d_b = define_d(self.ndf, self.net_d, self.n_layers_d, self.norm,
+                       use_sigmoid, self.init_type, self.init_gain, self.dtype)
+        return g_a, g_b, d_a, d_b
+
+
+class PoolState(flax.struct.PyTreeNode):
+    images: jax.Array  # (pool_size, D, H, W, C)
+    count: jax.Array  # () int32
+
+
+class CycleGANState(flax.struct.PyTreeNode):
+    g_params: Dict[str, Any]  # {'g_a':…, 'g_b':…}
+    d_params: Dict[str, Any]  # {'d_a':…, 'd_b':…}
+    opt_g: Any
+    opt_d: Any
+    pool_fake_a: PoolState
+    pool_fake_b: PoolState
+    step: jax.Array  # () int32
+
+
+def _adam(beta1: float) -> optax.GradientTransformation:
+    # torch.optim.Adam(betas=(beta1, 0.999), eps=1e-8); lr applied separately.
+    return optax.scale_by_adam(b1=beta1, b2=0.999, eps=1e-8)
+
+
+def _empty_pool(cfg: CycleGANConfig, patch_shape, channels: int) -> PoolState:
+    shape = (max(cfg.pool_size, 1), *patch_shape, channels)
+    return PoolState(
+        images=jnp.zeros(shape, cfg.dtype),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def create_state(
+    cfg: CycleGANConfig,
+    rng: jax.Array,
+    patch_shape: Tuple[int, int, int],
+) -> CycleGANState:
+    """Initialize all four networks and both optimizer chains."""
+    g_a, g_b, d_a, d_b = cfg.build_nets()
+    ka, kb, kda, kdb = jax.random.split(rng, 4)
+    dummy_a = jnp.zeros((1, *patch_shape, cfg.input_nc), cfg.dtype)
+    dummy_b = jnp.zeros((1, *patch_shape, cfg.output_nc), cfg.dtype)
+    g_params = {
+        "g_a": g_a.init(ka, dummy_a, train=False),
+        "g_b": g_b.init(kb, dummy_b, train=False),
+    }
+    d_params = {
+        "d_a": d_a.init(kda, dummy_b, train=False),
+        "d_b": d_b.init(kdb, dummy_a, train=False),
+    }
+    tx = _adam(cfg.beta1)
+    return CycleGANState(
+        g_params=g_params,
+        d_params=d_params,
+        opt_g=tx.init(g_params),
+        opt_d=tx.init(d_params),
+        pool_fake_a=_empty_pool(cfg, patch_shape, cfg.input_nc),
+        pool_fake_b=_empty_pool(cfg, patch_shape, cfg.output_nc),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def pool_query(pool: PoolState, images: jax.Array, rng: jax.Array, pool_size: int):
+    """Replay-buffer query with the reference ImagePool semantics
+    (reference models/cycle_gan_model.py:15-35): while filling, store and
+    return the fresh image; once full, with p>0.5 swap with a random slot and
+    return the evicted image, else pass the fresh image through. Sequential
+    over the batch (scan) to match the torch loop exactly."""
+    if pool_size == 0:
+        return pool, images
+    keys = jax.random.split(rng, images.shape[0])
+
+    def body(carry, inp):
+        imgs, count = carry
+        img, key = inp
+        k1, k2 = jax.random.split(key)
+        p = jax.random.uniform(k1)
+        rid = jax.random.randint(k2, (), 0, pool_size)
+        not_full = count < pool_size
+        swap = jnp.logical_and(jnp.logical_not(not_full), p > 0.5)
+        write = jnp.logical_or(not_full, swap)
+        idx = jnp.where(not_full, count, rid)
+        evicted = imgs[idx]
+        imgs = imgs.at[idx].set(jnp.where(write, img, evicted))
+        out = jnp.where(swap, evicted, img)
+        count = count + not_full.astype(jnp.int32)
+        return (imgs, count), out
+
+    (imgs, count), outs = jax.lax.scan(body, (pool.images, pool.count), (images, keys))
+    return PoolState(images=imgs, count=count), outs
+
+
+def make_train_step(cfg: CycleGANConfig):
+    """Build the jitted (donated-state) CycleGAN train step.
+
+    step(state, real_a, real_b, rng, lr) -> (state, metrics)
+    real_a: (B, D, H, W, input_nc) in [-1, 1]; real_b likewise.
+    """
+    g_a, g_b, d_a, d_b = cfg.build_nets()
+    lam_idt = cfg.lambda_identity
+
+    def g_loss_fn(g_params, d_params, real_a, real_b, rngs):
+        fake_b = g_a.apply(g_params["g_a"], real_a, train=True, rngs=rngs)
+        rec_a = g_b.apply(g_params["g_b"], fake_b, train=True, rngs=rngs)
+        fake_a = g_b.apply(g_params["g_b"], real_b, train=True, rngs=rngs)
+        rec_b = g_a.apply(g_params["g_a"], fake_a, train=True, rngs=rngs)
+
+        loss_g_a = gan_loss(d_a.apply(d_params["d_a"], fake_b, train=True), True, cfg.gan_mode)
+        loss_g_b = gan_loss(d_b.apply(d_params["d_b"], fake_a, train=True), True, cfg.gan_mode)
+        loss_cycle_a = l1_loss(rec_a, real_a) * cfg.lambda_a
+        loss_cycle_b = l1_loss(rec_b, real_b) * cfg.lambda_b
+
+        if lam_idt > 0:
+            idt_a = g_a.apply(g_params["g_a"], real_b, train=True, rngs=rngs)
+            idt_b = g_b.apply(g_params["g_b"], real_a, train=True, rngs=rngs)
+            loss_idt_a = l1_loss(idt_a, real_b) * cfg.lambda_b * lam_idt
+            loss_idt_b = l1_loss(idt_b, real_a) * cfg.lambda_a * lam_idt
+        else:
+            loss_idt_a = jnp.float32(0)
+            loss_idt_b = jnp.float32(0)
+
+        # Logged but not optimized, like the reference (:217-218 vs :223).
+        sg = jax.lax.stop_gradient
+        loss_cor_a = cor_coe_loss(sg(fake_b), real_a) * cfg.lambda_co_a
+        loss_cor_b = cor_coe_loss(sg(fake_a), real_b) * cfg.lambda_co_b
+
+        loss = (loss_g_a + loss_g_b + loss_cycle_a + loss_cycle_b
+                + loss_idt_a + loss_idt_b)
+        aux = {
+            "fake_a": sg(fake_a),
+            "fake_b": sg(fake_b),
+            "metrics": {
+                "G_A": loss_g_a, "G_B": loss_g_b,
+                "cycle_A": loss_cycle_a, "cycle_B": loss_cycle_b,
+                "idt_A": loss_idt_a, "idt_B": loss_idt_b,
+                "cor_coe_GA": loss_cor_a, "cor_coe_GB": loss_cor_b,
+            },
+        }
+        return loss, aux
+
+    def d_loss_fn(d_params, real_a, real_b, fake_a, fake_b):
+        # loss_D = 0.5*(gan(D(real),1) + gan(D(pooled fake),0)) per D
+        # (reference :138-149); both Ds step together (reference :237-240).
+        pred_real_a = d_a.apply(d_params["d_a"], real_b, train=True)
+        pred_fake_a = d_a.apply(d_params["d_a"], fake_b, train=True)
+        loss_d_a = 0.5 * (gan_loss(pred_real_a, True, cfg.gan_mode)
+                          + gan_loss(pred_fake_a, False, cfg.gan_mode))
+        pred_real_b = d_b.apply(d_params["d_b"], real_a, train=True)
+        pred_fake_b = d_b.apply(d_params["d_b"], fake_a, train=True)
+        loss_d_b = 0.5 * (gan_loss(pred_real_b, True, cfg.gan_mode)
+                          + gan_loss(pred_fake_b, False, cfg.gan_mode))
+        return loss_d_a + loss_d_b, {"D_A": loss_d_a, "D_B": loss_d_b}
+
+    tx = _adam(cfg.beta1)
+
+    def apply_updates(params, grads, opt_state, lr):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+        return params, opt_state
+
+    def train_step(state: CycleGANState, real_a, real_b, rng, lr):
+        real_a = real_a.astype(cfg.dtype)
+        real_b = real_b.astype(cfg.dtype)
+        k_drop, k_pool_a, k_pool_b = jax.random.split(rng, 3)
+        rngs = {"dropout": k_drop} if not cfg.no_dropout else {}
+
+        # --- G update (Ds frozen: d_params not differentiated) ---
+        (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params, state.d_params, real_a, real_b, rngs)
+        g_params, opt_g = apply_updates(state.g_params, g_grads, state.opt_g, lr)
+
+        # --- pool queries on the pre-update fakes ---
+        pool_fake_b, fake_b_mix = pool_query(
+            state.pool_fake_b, aux["fake_b"], k_pool_b, cfg.pool_size)
+        pool_fake_a, fake_a_mix = pool_query(
+            state.pool_fake_a, aux["fake_a"], k_pool_a, cfg.pool_size)
+
+        # --- D update ---
+        (_, d_metrics), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params, real_a, real_b, fake_a_mix, fake_b_mix)
+        d_params, opt_d = apply_updates(state.d_params, d_grads, state.opt_d, lr)
+
+        metrics = dict(aux["metrics"])
+        metrics.update(d_metrics)
+        new_state = state.replace(
+            g_params=g_params, d_params=d_params,
+            opt_g=opt_g, opt_d=opt_d,
+            pool_fake_a=pool_fake_a, pool_fake_b=pool_fake_b,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_generate_fn(cfg: CycleGANConfig, which: str = "g_a"):
+    """Inference forward for a single generator (the TestModel equivalent,
+    reference models/test_model.py:41-48)."""
+    g_a, g_b, _, _ = cfg.build_nets()
+    net = {"g_a": g_a, "g_b": g_b}[which]
+
+    def generate(params, x):
+        return net.apply(params, x.astype(cfg.dtype), train=False)
+
+    return generate
+
+
+def forward_visuals(cfg: CycleGANConfig, state: CycleGANState, real_a, real_b):
+    """real/fake/rec/idt volumes for inspection (the get_current_visuals
+    equivalent, reference models/base_model.py:72-77). Not part of the hot
+    step — call sparingly. Jitted internally (eager per-op dispatch would
+    compile every conv separately)."""
+    g_a, g_b, _, _ = cfg.build_nets()
+
+    @jax.jit
+    def _run(g_params, real_a, real_b):
+        fake_b = g_a.apply(g_params["g_a"], real_a.astype(cfg.dtype), train=False)
+        rec_a = g_b.apply(g_params["g_b"], fake_b, train=False)
+        fake_a = g_b.apply(g_params["g_b"], real_b.astype(cfg.dtype), train=False)
+        rec_b = g_a.apply(g_params["g_a"], fake_a, train=False)
+        out = {"real_A": real_a, "fake_B": fake_b, "rec_A": rec_a,
+               "real_B": real_b, "fake_A": fake_a, "rec_B": rec_b}
+        if cfg.lambda_identity > 0:
+            out["idt_A"] = g_a.apply(g_params["g_a"], real_b.astype(cfg.dtype), train=False)
+            out["idt_B"] = g_b.apply(g_params["g_b"], real_a.astype(cfg.dtype), train=False)
+        return out
+
+    return _run(state.g_params, real_a, real_b)

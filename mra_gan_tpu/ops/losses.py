@@ -1,0 +1,47 @@
+"""Loss functions for CycleGAN training.
+
+Equivalents of the reference's GANLoss (LSGAN=MSE / vanilla=BCE,
+reference models/networks3D.py:130-150), L1 cycle/identity criteria
+(reference models/cycle_gan_model.py:104-105), and the Pearson
+correlation-coefficient loss ``1 - r**2``
+(reference models/networks3D.py:156-166).
+
+All reductions are float32 regardless of compute dtype.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+def gan_loss(pred, target_is_real: bool, mode: str = "lsgan"):
+    """LSGAN: MSE against a 0/1 target; vanilla: BCE (pred is a probability,
+    i.e. the discriminator ends in sigmoid, matching use_sigmoid=no_lsgan)."""
+    pred = _f32(pred)
+    target = 1.0 if target_is_real else 0.0
+    if mode == "lsgan":
+        return jnp.mean(jnp.square(pred - target))
+    if mode == "vanilla":
+        eps = 1e-12
+        p = jnp.clip(pred, eps, 1.0 - eps)
+        return jnp.mean(-(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p)))
+    raise ValueError(f"unknown gan loss mode {mode!r}")
+
+
+def l1_loss(pred, target):
+    return jnp.mean(jnp.abs(_f32(pred) - _f32(target)))
+
+
+def cor_coe_loss(y_pred, y_target):
+    """1 - Pearson r^2 ("absolute constraint" variant the reference uses)."""
+    x = _f32(y_pred)
+    y = _f32(y_target)
+    xc = x - jnp.mean(x)
+    yc = y - jnp.mean(y)
+    r_num = jnp.sum(xc * yc)
+    r_den = jnp.sqrt(jnp.sum(xc * xc)) * jnp.sqrt(jnp.sum(yc * yc))
+    r = r_num / r_den
+    return 1.0 - r * r

@@ -1,0 +1,125 @@
+"""CycleGAN training-step tests: pool semantics, loss wiring, smoke training
+(the BASELINE 'Smoke' config: tiny ResNet G + 1-layer PatchGAN D, 32^3)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mra_gan_tpu.models.cycle_gan import (
+    CycleGANConfig,
+    PoolState,
+    create_state,
+    make_train_step,
+    pool_query,
+)
+
+SMOKE = CycleGANConfig(ngf=4, ndf=4, net_g="resnet_6blocks", net_d="n_layers",
+                       n_layers_d=1, pool_size=4)
+
+
+def test_pool_fills_then_swaps():
+    pool = PoolState(images=jnp.zeros((4, 2, 2, 2, 1)), count=jnp.zeros((), jnp.int32))
+    imgs = jnp.arange(1, 4 * 8 + 1, dtype=jnp.float32).reshape(4, 2, 2, 2, 1)
+    new_pool, out = pool_query(pool, imgs, jax.random.PRNGKey(0), 4)
+    # While filling, the fresh images pass straight through and are stored.
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs))
+    np.testing.assert_array_equal(np.asarray(new_pool.images), np.asarray(imgs))
+    assert int(new_pool.count) == 4
+    # Once full: every output is either the fresh image or an evicted one,
+    # and the pool keeps exactly pool_size entries.
+    imgs2 = -imgs
+    pool2, out2 = pool_query(new_pool, imgs2, jax.random.PRNGKey(1), 4)
+    assert int(pool2.count) == 4
+    pool_vals = set(np.asarray(pool2.images).ravel().tolist())
+    out_vals = np.asarray(out2)
+    for i in range(4):
+        v = out_vals[i].ravel()[0]
+        assert v in set(np.asarray(imgs2).ravel().tolist()) | set(
+            np.asarray(new_pool.images).ravel().tolist())
+
+
+def test_pool_size_zero_passthrough():
+    pool = PoolState(images=jnp.zeros((1, 2, 2, 2, 1)), count=jnp.zeros((), jnp.int32))
+    imgs = jnp.ones((3, 2, 2, 2, 1))
+    p2, out = pool_query(pool, imgs, jax.random.PRNGKey(0), 0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs))
+
+
+def test_train_step_runs_and_updates():
+    cfg = SMOKE
+    rng = jax.random.PRNGKey(0)
+    state = create_state(cfg, rng, (16, 16, 16))
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    a = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 16, 1), minval=-1, maxval=1)
+    b = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 16, 16, 1), minval=-1, maxval=1)
+    before = jax.tree.map(np.asarray, state.g_params)
+    state, metrics = step(state, a, b, jax.random.PRNGKey(3), 2e-4)
+    for name in ("D_A", "G_A", "cycle_A", "idt_A", "D_B", "G_B", "cycle_B",
+                 "idt_B", "cor_coe_GA", "cor_coe_GB"):
+        assert name in metrics
+        assert np.isfinite(float(metrics[name])), name
+    after = state.g_params
+    changed = jax.tree.map(lambda x, y: float(np.abs(np.asarray(x) - np.asarray(y)).max()),
+                           before, after)
+    assert max(jax.tree.leaves(changed)) > 0
+    assert int(state.step) == 1
+
+
+def test_train_step_loss_decreases_cycle():
+    """A few steps on fixed data should reduce the cycle losses (the
+    strongest, lambda=10 signal)."""
+    cfg = SMOKE
+    state = create_state(cfg, jax.random.PRNGKey(0), (16, 16, 16))
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    a = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 16, 1), minval=-1, maxval=1)
+    b = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 16, 16, 1), minval=-1, maxval=1)
+    first = None
+    for i in range(8):
+        state, m = step(state, a, b, jax.random.PRNGKey(10 + i), 2e-3)
+        cyc = float(m["cycle_A"]) + float(m["cycle_B"])
+        if first is None:
+            first = cyc
+    assert cyc < first
+
+
+def test_identity_loss_disabled():
+    cfg = CycleGANConfig(ngf=4, ndf=4, n_layers_d=1, pool_size=2, lambda_identity=0.0)
+    state = create_state(cfg, jax.random.PRNGKey(0), (12, 12, 12))
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    a = jnp.zeros((1, 12, 12, 12, 1))
+    state, m = step(state, a, a, jax.random.PRNGKey(1), 1e-4)
+    assert float(m["idt_A"]) == 0.0 and float(m["idt_B"]) == 0.0
+
+
+def test_vanilla_gan_mode():
+    cfg = CycleGANConfig(ngf=4, ndf=4, n_layers_d=1, pool_size=2, gan_mode="vanilla")
+    state = create_state(cfg, jax.random.PRNGKey(0), (12, 12, 12))
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    a = jnp.zeros((1, 12, 12, 12, 1))
+    state, m = step(state, a, a, jax.random.PRNGKey(1), 1e-4)
+    assert np.isfinite(float(m["D_A"]))
+
+
+def test_adam_matches_torch_single_param():
+    """Our manual adam (scale_by_adam + p - lr*u) must match torch Adam."""
+    torch = pytest.importorskip("torch")
+    import optax
+
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    grads = [np.array([0.1, -0.2, 0.3], np.float32),
+             np.array([-0.05, 0.1, 0.2], np.float32)]
+    # torch
+    wt = torch.tensor(w0.copy(), requires_grad=True)
+    opt = torch.optim.Adam([wt], lr=2e-4, betas=(0.5, 0.999))
+    for g in grads:
+        opt.zero_grad()
+        wt.grad = torch.tensor(g)
+        opt.step()
+    # ours
+    tx = optax.scale_by_adam(b1=0.5, b2=0.999, eps=1e-8)
+    p = jnp.asarray(w0)
+    s = tx.init(p)
+    for g in grads:
+        u, s = tx.update(jnp.asarray(g), s, p)
+        p = p - 2e-4 * u
+    np.testing.assert_allclose(np.asarray(p), wt.detach().numpy(), rtol=1e-6, atol=1e-7)
