@@ -1,0 +1,70 @@
+"""Benchmark: full CycleGAN train step at the reference's default workload
+(batch 1, 64^3 patches, ngf=ndf=32, resnet_6blocks G, 3-layer PatchGAN D —
+reference options/base_options.py:17,20,31-37) on one chip, bfloat16 compute.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the V100
+anchor is an estimate of its per-step wall time derived from the measured
+compute of the same workload: the reference runs ~10 separate eager torch
+graphs per iteration (6 G fwd + G bwd, 4 D fwd + D bwd,
+reference models/cycle_gan_model.py:227-240) totalling ~3.3 TFLOP(f32-equiv);
+at an optimistic 25% of V100's 15.7 TF/s fp32 (cuDNN 3D convs + eager
+overheads) that is ~0.85 s/step => ~1.18 pairs/s. vs_baseline is measured
+pairs/s divided by that anchor.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+V100_PAIRS_PER_SEC_EST = 1.18
+
+BATCH = 1
+PATCH = (64, 64, 64)
+WARMUP = 3
+ITERS = 20
+
+
+def main() -> None:
+    from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state, make_train_step
+
+    cfg = CycleGANConfig(ngf=32, ndf=32, net_g="resnet_6blocks", net_d="n_layers",
+                         n_layers_d=3, pool_size=50, dtype=jnp.bfloat16)
+    state = create_state(cfg, jax.random.PRNGKey(0), PATCH)
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+
+    a = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, *PATCH, 1),
+                           minval=-1, maxval=1, dtype=jnp.float32)
+    b = jax.random.uniform(jax.random.PRNGKey(2), (BATCH, *PATCH, 1),
+                           minval=-1, maxval=1, dtype=jnp.float32)
+
+    def hard_sync(tree):
+        # block_until_ready can return before execution completes on the
+        # tunneled axon backend; a device_get of a value is a true barrier.
+        jax.device_get(jax.tree.leaves(tree)[0])
+
+    for i in range(WARMUP):
+        state, metrics = step(state, a, b, jax.random.PRNGKey(i), 2e-4)
+    hard_sync(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = step(state, a, b, jax.random.PRNGKey(100 + i), 2e-4)
+    hard_sync(metrics)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "64^3-patch pairs/sec/chip (full CycleGAN train step, bf16)",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / V100_PAIRS_PER_SEC_EST, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+from .io import CheckpointManager, load_torch_generator

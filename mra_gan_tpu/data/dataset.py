@@ -1,0 +1,228 @@
+"""Training dataset + loader.
+
+Rebuilds both reference input pipelines without MONAI/SimpleITK/torch:
+
+- **monai pipeline** (the active one, reference train.py:35-52):
+  load NIfTI pairs from ``<root>/images`` + ``<root>/labels`` → orient RAS →
+  z-score normalize image (labels raw) → crop foreground (image-derived box,
+  applied to both) → pos/neg-weighted random patch crops (pos=20, neg=0,
+  2 samples/volume) — with the deterministic prefix disk-cached as .npz (the
+  PersistentDataset equivalent, reference train.py:50).
+- **legacy pipeline** (reference utils/NiftiDataset.py:391-500): 0-255
+  rescale → optional spacing resample → pad to patch → rejection-sampling
+  random crop → [-1,1]; unpaired sampling picks a random label volume
+  (``shuffle_labels``, reference :426-429).
+
+The loader is a simple prefetching iterator over epoch-shuffled volume
+indices (the torch DataLoader equivalent); patches are stacked into numpy
+batches ready for device_put.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+import queue as queue_mod
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import nifti
+from .transforms import (
+    crop_foreground,
+    pad_to_size,
+    rand_crop_by_pos_neg,
+    random_crop,
+    rescale_0_255,
+    resample_to_spacing,
+    to_ras,
+    to_tanh_range,
+    zscore_normalize,
+)
+
+
+def list_nifti(directory) -> List[Path]:
+    """Sorted .nii/.nii.gz listing (reference lstFiles,
+    utils/NiftiDataset.py:32)."""
+    d = Path(directory)
+    files = [p for p in d.iterdir()
+             if p.name.endswith(".nii") or p.name.endswith(".nii.gz")]
+
+    def key(p: Path):
+        stem = p.name.split(".")[0]
+        return (0, int(stem)) if stem.isdigit() else (1, stem)
+
+    return sorted(files, key=key)
+
+
+class UnpairedVolumeDataset:
+    """Pairs of (image, label) volumes with optional unpaired label shuffling.
+
+    pipeline='monai'  -> z-score image, raw label, fg-crop, pos/neg crop.
+    pipeline='legacy' -> 0-255 both, optional resample, rejection crop, [-1,1].
+    """
+
+    def __init__(
+        self,
+        data_path,
+        patch_size: Sequence[int] = (64, 64, 64),
+        pipeline: str = "monai",
+        num_samples: int = 2,
+        shuffle_labels: bool = False,
+        which_direction: str = "AtoB",
+        resample: bool = False,
+        new_resolution: Sequence[float] = (1, 1, 1),
+        drop_ratio: float = 0.0,
+        min_pixel: float = 0.1,
+        cache_dir: Optional[str] = None,
+        seed: int = 0,
+    ):
+        self.image_paths = list_nifti(Path(data_path) / "images")
+        self.label_paths = list_nifti(Path(data_path) / "labels")
+        if len(self.image_paths) != len(self.label_paths):
+            raise ValueError(
+                f"images/labels count mismatch: {len(self.image_paths)} vs "
+                f"{len(self.label_paths)} under {data_path}")
+        if not self.image_paths:
+            raise ValueError(f"no NIfTI volumes under {data_path}/images")
+        self.patch_size = [int(p) for p in patch_size]
+        self.pipeline = pipeline
+        self.num_samples = num_samples
+        self.shuffle_labels = shuffle_labels
+        self.which_direction = which_direction
+        self.resample = resample
+        self.new_resolution = new_resolution
+        self.drop_ratio = drop_ratio
+        # reference min_pixel is a percentage of the patch volume
+        # (reference train.py:60): int(min_pixel * patch_voxels / 100)
+        self.min_pixel = int(
+            float(min_pixel) * np.prod(self.patch_size) / 100.0)
+        self.cache_dir = Path(cache_dir) if cache_dir else None
+        if self.cache_dir:
+            self.cache_dir.mkdir(parents=True, exist_ok=True)
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    # -- deterministic preprocessing (cached) --
+
+    def _cache_key(self, img_path: Path, lbl_path: Path) -> Path:
+        h = hashlib.sha1()
+        for p in (img_path, lbl_path):
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+        h.update(f"{self.pipeline}:{self.resample}:{self.new_resolution}".encode())
+        return self.cache_dir / (h.hexdigest() + ".npz")
+
+    def _preprocess(self, idx: int, lbl_idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        img_path = self.image_paths[idx]
+        lbl_path = self.label_paths[lbl_idx]
+        if self.cache_dir:
+            ck = self._cache_key(img_path, lbl_path)
+            if ck.exists():
+                z = np.load(ck)
+                return z["image"], z["label"]
+        img = nifti.load(img_path)
+        lbl = nifti.load(lbl_path)
+        if self.pipeline == "monai":
+            img = to_ras(img)
+            lbl = to_ras(lbl)
+            image = zscore_normalize(img.data)
+            label = lbl.data.astype(np.float32)
+            image, label, _ = crop_foreground(image, label)
+        else:
+            if self.resample:
+                img = resample_to_spacing(img, self.new_resolution, "linear")
+                lbl = resample_to_spacing(lbl, self.new_resolution, "linear")
+            image = rescale_0_255(img.data)
+            label = rescale_0_255(lbl.data)
+        image = np.ascontiguousarray(image, np.float32)
+        label = np.ascontiguousarray(label, np.float32)
+        if self.cache_dir:
+            np.savez(self._cache_key(img_path, lbl_path), image=image, label=label)
+        return image, label
+
+    # -- per-epoch sampling --
+
+    def sample_patches(self, idx: int, epoch: int = 0) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """num_samples (image_patch, label_patch) pairs for one volume,
+        deterministic in (seed, epoch, idx). Outputs are (D,H,W,1) float32;
+        legacy pipeline maps to [-1,1], monai leaves z-scored image / raw
+        label (the reference's normalization split, SURVEY §2.2 #10)."""
+        rng = np.random.Generator(np.random.Philox(
+            key=self.seed, counter=[epoch, idx, 0, 0]))
+        lbl_idx = int(rng.integers(len(self.label_paths))) if self.shuffle_labels else idx
+        image, label = self._preprocess(idx, lbl_idx)
+        if self.which_direction == "BtoA":
+            image, label = label, image
+        out = []
+        if self.pipeline == "monai":
+            for ip, lp in rand_crop_by_pos_neg(
+                    image, label, self.patch_size, rng,
+                    num_samples=self.num_samples, pos=20.0, neg=0.0,
+                    image_threshold=-1.0):
+                out.append((ip[..., None], lp[..., None]))
+        else:
+            for _ in range(self.num_samples):
+                ip, lp = random_crop(image, label, self.patch_size, rng,
+                                     self.drop_ratio, self.min_pixel)
+                out.append((to_tanh_range(ip)[..., None], to_tanh_range(lp)[..., None]))
+        return out
+
+
+class PatchLoader:
+    """Epoch iterator yielding (image_batch, label_batch) numpy arrays of
+    shape (B, D, H, W, 1), with background-thread prefetch (the
+    DataLoader(num_workers) equivalent, reference train.py:52)."""
+
+    def __init__(self, dataset: UnpairedVolumeDataset, batch_size: int = 1,
+                 shuffle: bool = True, prefetch: int = 4, workers: int = 1):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.prefetch = max(1, prefetch)
+        self.workers = max(0, workers)
+
+    def _patch_stream(self, epoch: int):
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.Generator(np.random.Philox(
+                key=self.ds.seed, counter=[epoch, 0, 0, 1])).shuffle(order)
+        for idx in order:
+            yield from self.ds.sample_patches(int(idx), epoch)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        def batches():
+            imgs, lbls = [], []
+            for ip, lp in self._patch_stream(epoch):
+                imgs.append(ip)
+                lbls.append(lp)
+                if len(imgs) == self.batch_size:
+                    yield np.stack(imgs), np.stack(lbls)
+                    imgs, lbls = [], []
+
+        if self.workers == 0:
+            yield from batches()
+            return
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for b in batches():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+    def steps_per_epoch(self) -> int:
+        return (len(self.ds) * self.ds.num_samples) // self.batch_size

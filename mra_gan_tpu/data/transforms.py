@@ -164,15 +164,16 @@ def resample_to_spacing(
     new_spacing: Sequence[float],
     interpolation: str = "linear",
 ) -> NiftiImage:
-    """Resample onto an axis-aligned grid with the given spacing (the legacy
-    Resample transform, reference utils/NiftiDataset.py:837-873)."""
+    """Resample onto a grid with the given spacing, keeping the voxel-center
+    physical convention exact (the legacy Resample transform, reference
+    utils/NiftiDataset.py:837-873). Origin (voxel 0 center) is preserved."""
     old_spacing = img.spacing
     zoom = np.asarray(old_spacing) / np.asarray(new_spacing, np.float64)
-    order = {"nearest": 0, "linear": 1, "bspline": 3}[interpolation]
-    data = ndimage.zoom(img.data.astype(np.float32), zoom, order=order, mode="nearest")
+    new_shape = tuple(int(np.ceil(s * z)) for s, z in zip(img.data.shape[:3], zoom))
     new_aff = img.affine.copy()
     new_aff[:3, :3] = img.affine[:3, :3] @ np.diag(1.0 / zoom)
-    return NiftiImage(data=data, affine=new_aff, descrip=img.descrip)
+    target = NiftiImage(data=np.zeros(new_shape, np.float32), affine=new_aff)
+    return resample_to_reference(img, target, interpolation)
 
 
 def resample_to_reference(

@@ -1,0 +1,30 @@
+"""Inference flags (reference options/test_options.py:4-21) with portable
+defaults instead of the reference's hard-coded host paths (SURVEY §2.2 #8)."""
+from .base_options import BaseOptions
+
+
+class TestOptions(BaseOptions):
+    def __init__(self):
+        super().__init__()
+        self.is_train = False
+
+    def initialize(self, parser):
+        parser = BaseOptions.initialize(self, parser)
+        parser.add_argument("--image", type=str, default="./Data_folder/test/images/0.nii",
+                            help="input volume (.nii/.nii.gz)")
+        parser.add_argument("--result", type=str, default="./result.nii",
+                            help="path to the .nii result to save")
+        parser.add_argument("--phase", type=str, default="test")
+        parser.add_argument("--which_epoch", type=str, default="latest",
+                            help="which checkpoint epoch to load")
+        parser.add_argument("--stride_inplane", type=int, default=32,
+                            help="sliding-window stride in the XY plane")
+        parser.add_argument("--stride_layer", type=int, default=32,
+                            help="sliding-window stride along Z")
+        parser.add_argument("--model_suffix", type=str, default="_A",
+                            help="which generator to run: _A (A->B) or _B (B->A)")
+        parser.add_argument("--blend", type=str, default="gaussian",
+                            choices=["gaussian", "uniform"],
+                            help="patch overlap blending window")
+        parser.set_defaults(model="test")
+        return parser

@@ -1,0 +1,40 @@
+"""Training flags (reference options/train_options.py:4-26)."""
+from .base_options import BaseOptions
+
+
+class TrainOptions(BaseOptions):
+    def __init__(self):
+        super().__init__()
+        self.is_train = True
+
+    def initialize(self, parser):
+        parser = BaseOptions.initialize(self, parser)
+        parser.add_argument("--print_freq", type=int, default=100,
+                            help="iterations between console loss prints")
+        parser.add_argument("--save_latest_freq", type=int, default=1000,
+                            help="iterations between 'latest' checkpoint saves")
+        parser.add_argument("--save_epoch_freq", type=int, default=200,
+                            help="epochs between numbered checkpoint saves")
+        parser.add_argument("--continue_train", action="store_true",
+                            help="continue training: load the latest model")
+        parser.add_argument("--epoch_count", type=int, default=1,
+                            help="the starting epoch count")
+        parser.add_argument("--phase", type=str, default="train")
+        parser.add_argument("--which_epoch", type=str, default="latest",
+                            help="which epoch to load (with --continue_train)")
+        parser.add_argument("--niter", type=int, default=500,
+                            help="# of epochs at the starting learning rate")
+        parser.add_argument("--niter_decay", type=int, default=100,
+                            help="# of epochs to linearly decay learning rate to zero")
+        parser.add_argument("--beta1", type=float, default=0.5, help="momentum term of adam")
+        parser.add_argument("--lr", type=float, default=0.0002,
+                            help="initial learning rate for adam")
+        parser.add_argument("--no_lsgan", action="store_true",
+                            help="use vanilla GAN loss instead of least-squares GAN")
+        parser.add_argument("--pool_size", type=int, default=50,
+                            help="size of the generated-image replay buffer")
+        parser.add_argument("--lr_policy", type=str, default="lambda",
+                            help="lambda | step | plateau | cosine")
+        parser.add_argument("--lr_decay_iters", type=int, default=50,
+                            help="decay LR by 0.1 every lr_decay_iters epochs (step policy)")
+        return parser

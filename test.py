@@ -1,0 +1,93 @@
+"""Inference CLI — the reference's ``python test.py`` full-volume workflow
+(reference test.py:38-218) rebuilt TPU-native:
+
+read NIfTI → 0-255 normalize → optional resample → pad to patch →
+sliding-window decode (ONE jitted scan on device, Gaussian or uniform
+blending) → rescale → resample back to the original grid → write NIfTI in
+the original physical space.
+
+Direction selection is --model_suffix _A (A->B) or _B (B->A), the mechanized
+version of the reference's checkpoint-renaming instruction
+(reference README.md:82-83, models/test_model.py:17).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mra_gan_tpu.checkpoint import CheckpointManager
+from mra_gan_tpu.data import nifti
+from mra_gan_tpu.data.transforms import (
+    from_tanh_range,
+    pad_to_size,
+    resample_to_reference,
+    resample_to_spacing,
+    rescale_0_255,
+    to_tanh_range,
+)
+from mra_gan_tpu.infer import sliding_window_inference
+from mra_gan_tpu.models.cycle_gan import make_generate_fn
+from mra_gan_tpu.options import TestOptions
+
+
+def inference(opt):
+    from train import config_from_opt
+
+    cfg = config_from_opt(opt)
+    patch = tuple(int(p) for p in opt.patch_size)
+
+    # --- load generator weights (raw restore: inference must not depend on
+    # the discriminator/optimizer config the model was trained with) ---
+    ckpt = CheckpointManager(opt.checkpoints_dir, opt.name)
+    tree = ckpt.restore_raw(opt.which_epoch)
+    which = {"_A": "g_a", "_B": "g_b"}[opt.model_suffix]
+    gen = make_generate_fn(cfg, which)
+    params = jax.tree.map(jnp.asarray, tree["g_params"][which])
+    gen_fn = jax.jit(lambda x: gen(params, x))
+
+    # --- read + preprocess (legacy convention: 0-255 then [-1,1],
+    #     reference test.py:56,152) ---
+    img = nifti.load(opt.image)
+    original = img
+    data = rescale_0_255(img.data)
+    work = nifti.NiftiImage(data=data, affine=img.affine)
+    if opt.resample:
+        work = resample_to_spacing(work, opt.new_resolution, "bspline")
+    pre_pad_shape = work.data.shape
+    vol = pad_to_size(work.data, patch)
+    vol = to_tanh_range(vol)
+
+    # --- decode ---
+    t0 = time.time()
+    out = sliding_window_inference(
+        vol,
+        gen_fn,
+        patch_size=patch,
+        stride_inplane=opt.stride_inplane,
+        stride_layer=opt.stride_layer,
+        blend=opt.blend,
+    )
+    out = from_tanh_range(out)
+    print(f"sliding-window decode: {time.time() - t0:.2f}s "
+          f"({vol.shape} vol, {patch} patches)")
+
+    # --- un-pad, restore physical space, write ---
+    out = out[: pre_pad_shape[0], : pre_pad_shape[1], : pre_pad_shape[2]]
+    result = nifti.NiftiImage(data=out.astype(np.float32), affine=work.affine)
+    if opt.resample:
+        result = resample_to_reference(result, original, "bspline")
+    nifti.save(result, opt.result)
+    print(f"wrote {opt.result}")
+    return result
+
+
+def main(argv=None):
+    opt = TestOptions().parse(argv)
+    return inference(opt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Training CLI — the reference's ``python train.py`` workflow
+(reference train.py:20-147) rebuilt TPU-native:
+
+- one jitted XLA program per train step (G+D+pools+Adam fused);
+- optional --data_parallel shards the batch over all devices;
+- exact resume (params + optimizer + pool + step via Orbax);
+- loss_log.txt / opt.txt outputs match the reference's observability.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mra_gan_tpu.checkpoint import CheckpointManager
+from mra_gan_tpu.data.dataset import PatchLoader, UnpairedVolumeDataset
+from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state, make_train_step
+from mra_gan_tpu.options import TrainOptions
+from mra_gan_tpu.training.schedules import LRScheduler
+from mra_gan_tpu.utils import StepTimer, Visualizer
+
+
+def config_from_opt(opt) -> CycleGANConfig:
+    return CycleGANConfig(
+        input_nc=opt.input_nc,
+        output_nc=opt.output_nc,
+        ngf=opt.ngf,
+        ndf=opt.ndf,
+        net_g=opt.netG,
+        net_d=opt.netD,
+        n_layers_d=opt.n_layers_D,
+        norm=opt.norm,
+        no_dropout=opt.no_dropout,
+        init_type=opt.init_type,
+        init_gain=opt.init_gain,
+        gan_mode="vanilla" if getattr(opt, "no_lsgan", False) else "lsgan",
+        lambda_a=getattr(opt, "lambda_A", 10.0),
+        lambda_b=getattr(opt, "lambda_B", 10.0),
+        lambda_identity=getattr(opt, "lambda_identity", 0.5),
+        lambda_co_a=getattr(opt, "lambda_co_A", 2.0),
+        lambda_co_b=getattr(opt, "lambda_co_B", 2.0),
+        pool_size=getattr(opt, "pool_size", 50),
+        beta1=getattr(opt, "beta1", 0.5),
+        dtype=jnp.bfloat16 if opt.precision == "bfloat16" else jnp.float32,
+    )
+
+
+def main(argv=None):
+    opt = TrainOptions().parse(argv)
+    cfg = config_from_opt(opt)
+    patch = tuple(int(p) for p in opt.patch_size)
+
+    dataset = UnpairedVolumeDataset(
+        opt.data_path,
+        patch_size=patch,
+        pipeline=opt.pipeline,
+        num_samples=opt.num_samples,
+        shuffle_labels=(opt.pipeline == "legacy"),
+        which_direction=opt.which_direction,
+        resample=opt.resample,
+        new_resolution=opt.new_resolution,
+        drop_ratio=opt.drop_ratio,
+        min_pixel=opt.min_pixel,
+        cache_dir=opt.cache_dir,
+        seed=opt.seed,
+    )
+    loader = PatchLoader(dataset, batch_size=opt.batch_size, shuffle=True,
+                         workers=opt.workers)
+    print(f"volumes: {len(dataset)}  steps/epoch: {loader.steps_per_epoch()}")
+
+    rng = jax.random.PRNGKey(opt.seed)
+    rng, init_rng = jax.random.split(rng)
+    state = create_state(cfg, init_rng, patch)
+
+    if opt.data_parallel and len(jax.devices()) > 1:
+        from mra_gan_tpu.core.mesh import make_mesh
+        from mra_gan_tpu.parallel.sharding import make_sharded_train_step, shard_state
+
+        mesh = make_mesh()
+        state = shard_state(state, mesh)
+        step, batch_sh = make_sharded_train_step(cfg, mesh)
+
+        def put(x):
+            return jax.device_put(x, batch_sh)
+    else:
+        step = jax.jit(make_train_step(cfg), donate_argnums=0)
+        put = jnp.asarray
+
+    ckpt = CheckpointManager(opt.checkpoints_dir, opt.name)
+    if opt.continue_train and ckpt.has(opt.which_epoch):
+        state = ckpt.restore(opt.which_epoch, state)
+        print(f"resumed from checkpoint '{opt.which_epoch}' (step {int(state.step)})")
+    elif opt.epoch_count > 1 and ckpt.has(opt.epoch_count):
+        state = ckpt.restore(opt.epoch_count, state)
+        print(f"resumed from checkpoint '{opt.epoch_count}'")
+
+    sched = LRScheduler(opt.lr_policy, opt.lr, niter=opt.niter,
+                        niter_decay=opt.niter_decay, epoch_count=opt.epoch_count,
+                        lr_decay_iters=opt.lr_decay_iters)
+    visualizer = Visualizer(opt)
+    total_steps = 0
+    last_metric = None
+
+    for epoch in range(opt.epoch_count, opt.niter + opt.niter_decay + 1):
+        epoch_start = time.time()
+        lr = sched.lr_for_epoch(epoch, metric=last_metric)
+        timer = StepTimer()
+        epoch_iter = 0
+        for image_b, label_b in loader.epoch(epoch):
+            timer.data_ready()
+            # AtoB: image -> real_A, label -> real_B (reference train.py:123
+            # feeds [image, label] into set_input)
+            a, b = put(image_b), put(label_b)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step(state, a, b, step_rng, lr)
+            total_steps += opt.batch_size
+            epoch_iter += opt.batch_size
+            if total_steps % opt.print_freq == 0:
+                metrics_host = {k: float(v) for k, v in metrics.items()}
+                last_metric = sum(metrics_host.values())
+                timer.step_done()
+                visualizer.print_current_losses(
+                    epoch, epoch_iter, metrics_host,
+                    timer.t_comp / opt.batch_size, timer.t_data)
+            if total_steps % opt.save_latest_freq == 0:
+                print(f"saving the latest model (epoch {epoch}, total_steps {total_steps})")
+                ckpt.save("latest", state, also_latest=False)
+        if epoch % opt.save_epoch_freq == 0:
+            print(f"saving the model at the end of epoch {epoch}, iters {total_steps}")
+            ckpt.save(epoch, state, also_latest=True)
+        print(f"End of epoch {epoch} / {opt.niter + opt.niter_decay} \t "
+              f"Time Taken: {int(time.time() - epoch_start)} sec \t lr: {lr:.7f}")
+    ckpt.save("latest", state, also_latest=False)
+
+
+if __name__ == "__main__":
+    main()
