@@ -49,8 +49,8 @@ def instance_norm_act(
     """Instance norm fused with the trailing activation of a conv block.
 
     ``act`` in {'none','relu','leaky_relu','tanh'}. XLA fuses the elementwise
-    tail into the normalization already; the Pallas single-pass variant lives
-    in ops/pallas/instance_norm.py and is substituted on TPU when enabled.
+    tail into the normalization already; the Pallas streaming variant lives
+    in ops/pallas/instance_norm.py (dispatched by the network layer on TPU).
     """
     y = instance_norm(x, eps=eps)
     if act == "relu":
@@ -62,3 +62,31 @@ def instance_norm_act(
     elif act != "none":
         raise ValueError(f"unknown activation {act!r}")
     return y
+
+
+def instance_norm_act_auto(
+    x: jax.Array,
+    act: str = "none",
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    """Dispatch between the Pallas streaming kernel and the XLA norm.
+
+    Status (measured on v5e, full CycleGAN step): the standalone Pallas
+    kernel wins at isolated fat-channel shapes but LOSES in the full traced
+    step — XLA fuses the norm's elementwise tail into neighbors for free and
+    the extra kernel launches cost more than they save (181ms -> 228ms).
+    Default is therefore XLA; set MRA_GAN_TPU_PALLAS_NORM=1 to opt in."""
+    import os
+
+    import jax as _jax
+
+    use_pallas = (
+        os.environ.get("MRA_GAN_TPU_PALLAS_NORM") == "1"
+        and _jax.default_backend() not in ("cpu",)
+        and x.shape[-1] >= 64
+    )
+    if use_pallas:
+        from .pallas.instance_norm import instance_norm_act_tpu
+
+        return instance_norm_act_tpu(x, act, negative_slope)
+    return instance_norm_act(x, act=act, negative_slope=negative_slope)
