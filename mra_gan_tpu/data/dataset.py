@@ -116,6 +116,18 @@ class UnpairedVolumeDataset:
         h.update(f"{self.pipeline}:{self.resample}:{self.new_resolution}".encode())
         return self.cache_dir / (h.hexdigest() + ".npz")
 
+    @staticmethod
+    def _load(path) -> nifti.NiftiImage:
+        """NIfTI load via the native C++ reader (native/nifti_io.cc) with the
+        pure-Python reader as fallback."""
+        from . import native
+
+        fast = native.load_nifti(path) if native.available() else None
+        if fast is not None:
+            data, affine = fast
+            return nifti.NiftiImage(data=data, affine=affine)
+        return nifti.load(path)
+
     def _preprocess(self, idx: int, lbl_idx: int) -> Tuple[np.ndarray, np.ndarray]:
         img_path = self.image_paths[idx]
         lbl_path = self.label_paths[lbl_idx]
@@ -124,8 +136,8 @@ class UnpairedVolumeDataset:
             if ck.exists():
                 z = np.load(ck)
                 return z["image"], z["label"]
-        img = nifti.load(img_path)
-        lbl = nifti.load(lbl_path)
+        img = self._load(img_path)
+        lbl = self._load(lbl_path)
         if self.pipeline == "monai":
             img = to_ras(img)
             lbl = to_ras(lbl)

@@ -114,6 +114,11 @@ def main(argv=None):
             # feeds [image, label] into set_input)
             a, b = put(image_b), put(label_b)
             rng, step_rng = jax.random.split(rng)
+            if getattr(opt, "augment", False):
+                from mra_gan_tpu.data.augment import augment_batch
+
+                rng, aug_rng = jax.random.split(rng)
+                a, b = augment_batch(a, b, aug_rng)
             state, metrics = step(state, a, b, step_rng, lr)
             total_steps += opt.batch_size
             epoch_iter += opt.batch_size
