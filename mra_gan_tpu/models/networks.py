@@ -37,6 +37,7 @@ from ..ops.conv import conv3d, conv_transpose3d, replication_pad3d
 from ..ops.init import get_initializer
 from ..ops.norm import instance_norm, instance_norm_act_auto
 from ..ops.s2d import conv3d_s2d
+from ..ops.subpixel import conv_transpose3d_subpixel
 
 Dtype = Any
 
@@ -120,13 +121,18 @@ class ConvTranspose3D(nn.Module):
         cin = x.shape[-1]
         init = self.kernel_init or get_initializer("normal")
         kernel = self.param("kernel", init, (*k, cin, self.features), jnp.float32)
-        y = conv_transpose3d(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            self.stride,
-            self.padding,
-            self.output_padding,
-        )
+        xc = x.astype(self.dtype)
+        kc = kernel.astype(self.dtype)
+        s = _canon(self.stride)
+        p = _canon(self.padding)
+        op = _canon(self.output_padding)
+        # stride-2 upsamples take the exact subpixel path (ops/subpixel.py):
+        # 3.4x fewer FLOPs and MXU-friendly shapes vs the input-dilated conv.
+        if s == (2, 2, 2) and len(set(p)) == 1 and len(set(op)) == 1 \
+                and k[0] + op[0] - 2 * p[0] == 2:
+            y = conv_transpose3d_subpixel(xc, kc, p[0], op[0])
+        else:
+            y = conv_transpose3d(xc, kc, self.stride, self.padding, self.output_padding)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)

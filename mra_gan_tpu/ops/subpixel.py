@@ -1,0 +1,89 @@
+"""Subpixel (pixel-shuffle) reformulation of stride-2 transposed convs.
+
+``conv_transpose3d`` via input dilation makes XLA compute over inserted
+zeros: for k=3/s=2 only 8 of the 27 taps per output are real (3.4x wasted
+FLOPs) and the spatial-dilated shapes lower poorly (measured 4.3-4.7 ms per
+up-conv on v5e). Exact algebra: with o = 2O + q (cell O, parity q) and
+i = O + (q + p - t)/2,
+
+    convT(x, w)[o] = sum_{t : q+p-t even} w[t] * x[O + (q+p-t)/2]
+
+so each of the 8 output parity classes is a small dense conv over input
+cells; stacking the parities into channels gives ONE matmul-friendly conv
+(cin -> 8*cout) followed by a depth-to-space interleave. Weight remap is a
+single gather+mask (k,k,k,ci,co) -> (k',k',k', ci, 8*co).
+
+Supports stride 2 with the generator/UNet configs (k=3,p=1,op=1 and
+k=4,p=1,op=0 — any (k,p,op) with op in {0,1} and output 2*in works).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .s2d import depth_to_space
+
+
+@lru_cache(maxsize=None)
+def _subpixel_map(k: int, p: int) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Per-axis tap table T[q, u_idx] = t (or 0 with mask False).
+    u = (q + p - t)/2 for even (q+p-t); returns (T, mask, k', pad_lo)."""
+    entries = {0: {}, 1: {}}
+    us = []
+    for q in (0, 1):
+        for t in range(k):
+            num = q + p - t
+            if num % 2 == 0:
+                u = num // 2
+                entries[q][u] = t
+                us.append(u)
+    u_min, u_max = min(us), max(us)
+    ku = u_max - u_min + 1
+    T = np.zeros((2, ku), np.int32)
+    M = np.zeros((2, ku), bool)
+    for q in (0, 1):
+        for u, t in entries[q].items():
+            T[q, u - u_min] = t
+            M[q, u - u_min] = True
+    # conv computes out[O] = sum_j w'[j] x[O - pad_lo + j]; tap at O+u means
+    # j = u - u_min with pad_lo = -u_min
+    return T, M, ku, -u_min
+
+
+def remap_weight_subpixel(w: jax.Array, p: int) -> Tuple[jax.Array, Tuple[int, int, int], int]:
+    """(k,k,k,ci,co) -> (k',k',k', ci, 8*co); returns (W', pads, k')."""
+    k = w.shape[0]
+    ci, co = w.shape[3], w.shape[4]
+    T, M, ku, pad_lo = _subpixel_map(k, p)
+    # gather axes: (q_d,u_d, q_h,u_h, q_w,u_w, ci, co)
+    wg = w[T[:, :, None, None, None, None],
+           T[None, None, :, :, None, None],
+           T[None, None, None, None, :, :], :, :]
+    m = (M[:, :, None, None, None, None]
+         & M[None, None, :, :, None, None]
+         & M[None, None, None, None, :, :])
+    wg = jnp.where(m[..., None, None], wg, 0)
+    # -> (u_d, u_h, u_w, ci, q_d, q_h, q_w, co)
+    wg = wg.transpose(1, 3, 5, 6, 0, 2, 4, 7)
+    return wg.reshape(ku, ku, ku, ci, 8 * co), pad_lo, ku
+
+
+def conv_transpose3d_subpixel(x: jax.Array, w: jax.Array, padding: int = 1,
+                              output_padding: int = 1) -> jax.Array:
+    """Exact stride-2 torch ConvTranspose3d via subpixel conv + D2S.
+    x: (N,D,H,W,ci); w: (kd,kh,kw,ci,co); output (N,2D,2H,2W,co)."""
+    k = w.shape[0]
+    out_len = 2  # out = 2*in requires (in-1)*2 - 2p + k + op == 2*in
+    assert (k + output_padding - 2 * padding) == 2, (
+        f"subpixel path needs out=2*in; got k={k} p={padding} op={output_padding}")
+    wp, pad_lo, ku = remap_weight_subpixel(w, padding)
+    pad_hi = ku - 1 - pad_lo
+    out = jax.lax.conv_general_dilated(
+        x, wp, (1, 1, 1), [(pad_lo, pad_hi)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)
+    return depth_to_space(out, 2)
