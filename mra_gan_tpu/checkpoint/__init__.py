@@ -1,1 +1,1 @@
-from .io import CheckpointManager, load_torch_generator
+from .io import CheckpointManager, load_torch_network

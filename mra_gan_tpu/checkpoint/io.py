@@ -63,116 +63,92 @@ class CheckpointManager:
 # torch import shim
 
 
-def _torch_key_to_path(key: str):
-    """Map a reference state-dict key like 'model.10.conv_block.5.weight'
-    to (layer_index_chain, param_kind)."""
-    parts = key.split(".")
-    kind = parts[-1]
-    idxs = [int(p) for p in parts if p.isdigit()]
-    return idxs, kind
+def _resnet_module_order(params: dict) -> list:
+    """Creation-order module paths of ResnetGenerator3D, matching the torch
+    Sequential order of the reference's ResnetGenerator
+    (reference models/networks3D.py:185-213):
+    stem conv, 2 down convs, n blocks x 2 convs, 2 up convs, head conv."""
+    n_blocks = sum(1 for k in params if k.startswith("ResnetBlock3D_"))
+    order = [("Conv3D_0",), ("Conv3D_1",), ("Conv3D_2",)]
+    for i in range(n_blocks):
+        order.append((f"ResnetBlock3D_{i}", "Conv3D_0"))
+        order.append((f"ResnetBlock3D_{i}", "Conv3D_1"))
+    order += [("ConvTranspose3D_0",), ("ConvTranspose3D_1",), ("Conv3D_3",)]
+    return order
 
 
-def load_torch_generator(pth_path, params_template) -> Any:
-    """Import a reference ``*_net_G_*.pth`` ResnetGenerator checkpoint into
-    our ResnetGenerator3D param pytree.
+def _nlayer_d_module_order(params: dict) -> list:
+    n = sum(1 for k in params if k.startswith("Conv3D_"))
+    return [(f"Conv3D_{i}",) for i in range(n)]
 
-    Reference module order (models/networks3D.py:185-213):
-    Sequential[pad, conv7, norm, relu, (conv s2, norm, relu)x2,
-    ResnetBlock xN, (convT, norm, relu)x2, pad, conv7, tanh]; our linen
-    params are named Conv3D_0..n / ConvTranspose3D_0..1 in the same
-    creation order. Conv kernels transpose OIDHW -> DHWIO (transposed
-    convs IODHW -> DHWIO); InstanceNorm running stats are dropped
-    (never used at reference inference — SURVEY §2.2 / our norm docs).
+
+def load_torch_network(pth_path, params, arch: str = "resnet"):
+    """Import a reference ``*.pth`` state dict into our param pytree.
+
+    arch: 'resnet' (ResnetGenerator, reference models/networks3D.py:173-263)
+    or 'nlayer_d' (NLayerDiscriminator, :381-425). Conv kernels transpose
+    OIDHW -> DHWIO; transposed convs IODHW -> DHWIO; InstanceNorm running
+    stats are dropped (never used at reference inference, see ops/norm.py).
+    DataParallel 'module.' prefixes are stripped like the reference's
+    new_state_dict (reference utils/utils.py:23-32).
+
+    ``params`` is the linen variables dict {'params': {...}}; returns a new
+    variables dict with imported weights (float32).
     """
     import torch
 
-    sd = torch.load(pth_path, map_location="cpu")
-    # strip DataParallel prefixes like the reference's new_state_dict
-    # (reference utils/utils.py:23-32)
-    sd = { (k[7:] if k.startswith("module.") else k): v for k, v in sd.items() }
+    sd = torch.load(pth_path, map_location="cpu", weights_only=True)
+    sd = {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
 
-    convs = []  # ordered (weight, bias|None, is_transposed)
-    seen = {}
-    for k, v in sd.items():
-        if k.endswith(".weight") and v.ndim == 5:
-            base = k[: -len(".weight")]
-            seen[base] = {"weight": v.numpy()}
-    for k, v in sd.items():
-        if k.endswith(".bias"):
-            base = k[: -len(".bias")]
-            if base in seen:
-                seen[base]["bias"] = v.numpy()
+    # ordered conv (weight, bias) pairs from the torch Sequential
+    bases = []
+    for k in sd:
+        if k.endswith(".weight") and sd[k].ndim == 5:
+            bases.append(k[: -len(".weight")])
 
-    def order_key(base: str):
+    def seq_key(base: str):
         return [int(p) if p.isdigit() else -1 for p in base.split(".")]
 
-    ordered = [seen[b] for b in sorted(seen, key=order_key)]
+    bases.sort(key=seq_key)
+    torch_convs = [
+        (sd[b + ".weight"].numpy(),
+         sd[b + ".bias"].numpy() if (b + ".bias") in sd else None)
+        for b in bases
+    ]
 
-    flat = jax.tree_util.tree_flatten_with_path(params_template)[0]
-    # group template leaves by module path prefix, in order
-    mods = {}
-    for path, leaf in flat:
-        keys = [getattr(p, "key", None) for p in path]
-        mod = next((k for k in keys if k and ("Conv" in k)), None)
-        if mod is None:
-            continue
-        mods.setdefault(mod, {})[keys[-1]] = (path, leaf)
+    inner = dict(params["params"])
+    order = (_resnet_module_order(inner) if arch == "resnet"
+             else _nlayer_d_module_order(inner))
+    if len(order) != len(torch_convs):
+        raise ValueError(
+            f"conv count mismatch: checkpoint has {len(torch_convs)}, "
+            f"template expects {len(order)} — wrong architecture/flags?")
 
-    def mod_order(name: str):
-        # creation order == numeric suffix order per type; ResnetGenerator3D
-        # interleaves Conv3D_* then ConvTranspose3D_*; rely on scan order of
-        # the torch sequence to match sorted-by-first-use below.
-        return name
+    new_params = jax.tree.map(lambda x: x, params)  # deep-ish copy of refs
 
-    # Walk template convs in torch order: this works because linen names are
-    # assigned in call order and the architectures are sequential.
-    ordered_mods = sorted(
-        mods.items(),
-        key=lambda kv: (0 if kv[0].startswith("Conv3D") else 1)
-        if False else int(re.search(r"_(\d+)$", kv[0]).group(1))
-        + (1000 if kv[0].startswith("ConvTranspose") else 0),
-    )
-    # interleave: Conv3D_0..2 (head+2 downs), blocks' convs (inside submodules
-    # they appear under their own scope) — handled by the caller passing the
-    # full nested template; here we simply require counts to match.
-    tensors = []
-    for path, leaf in flat:
-        keys = [getattr(p, "key", None) for p in path]
-        if keys[-1] in ("kernel", "bias"):
-            tensors.append((path, leaf, keys[-1]))
+    def set_in(tree, path, leaf_name, value):
+        node = tree["params"]
+        for p in path[:-1]:
+            node = node[p]
+        mod = dict(node[path[-1]])
+        if value.shape != mod[leaf_name].shape:
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}/{leaf_name}: "
+                f"{value.shape} vs {mod[leaf_name].shape}")
+        mod[leaf_name] = value
+        node[path[-1]] = mod
 
-    new_leaves = {}
-    ti = 0
-    for entry in ordered:
-        w = entry["weight"]
-        is_transposed_guess = None
-        # assign kernel
-        while ti < len(tensors) and tensors[ti][2] != "kernel":
-            ti += 1
-        if ti >= len(tensors):
-            raise ValueError("torch checkpoint has more convs than template")
-        path, leaf, _ = tensors[ti]
-        ti += 1
-        keys = [getattr(p, "key", None) for p in path]
-        transposed = any(k and k.startswith("ConvTranspose") for k in keys)
+    # rebuild as mutable nested dicts
+    import copy
+
+    new_params = {"params": copy.deepcopy(jax.tree.map(np.asarray, params["params"]))}
+    for path, (w, b) in zip(order, torch_convs):
+        transposed = path[-1].startswith("ConvTranspose")
         if transposed:
-            k = np.transpose(w, (2, 3, 4, 0, 1))  # IODHW -> DHWIO
+            k = np.transpose(w, (2, 3, 4, 0, 1)).astype(np.float32)  # IODHW->DHWIO
         else:
-            k = np.transpose(w, (2, 3, 4, 1, 0))  # OIDHW -> DHWIO
-        if k.shape != leaf.shape:
-            raise ValueError(f"shape mismatch {k.shape} vs {leaf.shape} at {keys}")
-        new_leaves[tuple(str(p) for p in path)] = k.astype(np.float32)
-        if "bias" in entry:
-            if ti < len(tensors) and tensors[ti][2] == "bias":
-                bpath, bleaf, _ = tensors[ti]
-                ti += 1
-                b = entry["bias"].astype(np.float32)
-                if b.shape != bleaf.shape:
-                    raise ValueError(f"bias shape mismatch at {bpath}")
-                new_leaves[tuple(str(p) for p in bpath)] = b
-
-    def replace(path, leaf):
-        key = tuple(str(p) for p in path)
-        return new_leaves.get(key, leaf)
-
-    return jax.tree_util.tree_map_with_path(replace, params_template)
+            k = np.transpose(w, (2, 3, 4, 1, 0)).astype(np.float32)  # OIDHW->DHWIO
+        set_in(new_params, path, "kernel", k)
+        if b is not None:
+            set_in(new_params, path, "bias", b.astype(np.float32))
+    return new_params
