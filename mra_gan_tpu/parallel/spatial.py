@@ -1,0 +1,139 @@
+"""Multi-device full-volume inference and spatially-sharded convolution.
+
+Two TPU-native extensions beyond the reference's single-GPU design:
+
+1. ``sharded_sliding_window`` — the sliding-window decode distributed over
+   the mesh's ``data`` axis with ``shard_map``: every device decodes a
+   disjoint subset of patches into its own accumulator pair and the overlap
+   averages are merged with one ``psum`` at the end. Wall-clock scales
+   ~linearly with device count for large volumes.
+
+2. ``halo_conv3d`` — a 'same' conv over a volume whose depth axis is sharded
+   across devices: each device holds a (D/n, H, W, C) shard, exchanges
+   k//2-deep halo slabs with its mesh neighbors via ``ppermute``, and
+   convolves locally. This is the building block for running volumes too
+   large for one chip's HBM (the "long-context" analogue of this domain,
+   SURVEY §5).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core.mesh import DATA_AXIS
+from ..infer.sliding_window import compute_grid_starts, gaussian_window
+
+
+def sharded_sliding_window(
+    mesh: Mesh,
+    volume: np.ndarray,
+    generate_fn: Callable,
+    patch_size: Sequence[int] = (64, 64, 64),
+    stride_inplane: int = 32,
+    stride_layer: int = 32,
+    blend: str = "gaussian",
+    batch: int = 1,
+) -> np.ndarray:
+    """Multi-device sliding-window decode. volume: (D,H,W) float32."""
+    n_dev = mesh.shape[DATA_AXIS]
+    patch = tuple(int(p) for p in patch_size)
+    vshape = volume.shape
+    padded = [max(v, p) for v, p in zip(vshape, patch)]
+    vol = np.pad(volume.astype(np.float32),
+                 [(0, pd - v) for pd, v in zip(padded, vshape)])
+
+    starts = [
+        compute_grid_starts(padded[0], patch[0], stride_layer),
+        compute_grid_starts(padded[1], patch[1], stride_inplane),
+        compute_grid_starts(padded[2], patch[2], stride_inplane),
+    ]
+    grid = np.array([(a, b, c) for a in starts[0] for b in starts[1] for c in starts[2]],
+                    np.int32)
+    n = len(grid)
+    per_dev_chunk = batch * n_dev
+    n_pad = (-n) % per_dev_chunk
+    if n_pad:
+        grid = np.concatenate([grid, np.repeat(grid[-1:], n_pad, axis=0)])
+    # round-robin so each device gets an even spread; duplicated tail patches
+    # cancel in the weighted average (acc and wsum get identical duplicates)
+    grid = grid.reshape(-1, n_dev, batch, 3).transpose(1, 0, 2, 3)  # (dev, steps, B, 3)
+
+    win = gaussian_window(patch) if blend == "gaussian" else np.ones(patch, np.float32)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(DATA_AXIS), P()),
+             out_specs=P(), check_vma=False)
+    def decode(vol, grid_dev, win):
+        grid_local = grid_dev[0]  # (steps, B, 3)
+        acc0 = jnp.zeros_like(vol)
+        wsum0 = jnp.zeros_like(vol)
+
+        def body(carry, starts_b):
+            acc, wsum = carry
+            patches = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(vol, (s[0], s[1], s[2]), patch)
+            )(starts_b)
+            out = generate_fn(patches[..., None])[..., 0].astype(jnp.float32) * win
+
+            def scatter(carry, i):
+                acc, wsum = carry
+                s = starts_b[i]
+                cur = jax.lax.dynamic_slice(acc, (s[0], s[1], s[2]), patch)
+                acc = jax.lax.dynamic_update_slice(acc, cur + out[i], (s[0], s[1], s[2]))
+                curw = jax.lax.dynamic_slice(wsum, (s[0], s[1], s[2]), patch)
+                wsum = jax.lax.dynamic_update_slice(wsum, curw + win, (s[0], s[1], s[2]))
+                return (acc, wsum), None
+
+            (acc, wsum), _ = jax.lax.scan(scatter, (acc, wsum),
+                                          jnp.arange(starts_b.shape[0]))
+            return (acc, wsum), None
+
+        (acc, wsum), _ = jax.lax.scan(body, (acc0, wsum0), grid_local)
+        acc = jax.lax.psum(acc, DATA_AXIS)
+        wsum = jax.lax.psum(wsum, DATA_AXIS)
+        return acc / jnp.maximum(wsum, 1e-8)
+
+    out = np.asarray(jax.jit(decode)(jnp.asarray(vol), jnp.asarray(grid),
+                                     jnp.asarray(win)))
+    return out[: vshape[0], : vshape[1], : vshape[2]]
+
+
+def halo_conv3d(mesh: Mesh, x_sharded: jax.Array, kernel: jax.Array,
+                axis_name: str = DATA_AXIS) -> jax.Array:
+    """'Same' (zero-pad) conv over a depth-sharded (N, D, H, W, C) volume.
+
+    Each device exchanges (k-1)//2 halo slabs with both neighbors over ICI
+    (ppermute) and convolves its extended shard locally — no gather of the
+    full volume ever materializes."""
+    kd = kernel.shape[0]
+    halo = (kd - 1) // 2
+    n_dev = mesh.shape[axis_name]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, axis_name), P()),
+             out_specs=P(None, axis_name), check_vma=False)
+    def conv(xs, w):
+        idx = jax.lax.axis_index(axis_name)
+        # send top slab to left neighbor, bottom slab to right neighbor
+        top = xs[:, :halo]
+        bot = xs[:, -halo:]
+        from_above = jax.lax.ppermute(
+            bot, axis_name, [(i, i + 1) for i in range(n_dev - 1)])
+        from_below = jax.lax.ppermute(
+            top, axis_name, [(i + 1, i) for i in range(n_dev - 1)])
+        zero = jnp.zeros_like(top)
+        upper = jnp.where(idx == 0, zero, from_above)
+        lower = jnp.where(idx == n_dev - 1, zero, from_below)
+        ext = jnp.concatenate([upper, xs, lower], axis=1)
+        return jax.lax.conv_general_dilated(
+            ext, w, (1, 1, 1),
+            [(0, 0), (halo, halo), (halo, halo)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=xs.dtype)
+
+    return conv(x_sharded, kernel)

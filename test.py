@@ -62,14 +62,23 @@ def inference(opt):
 
     # --- decode ---
     t0 = time.time()
-    out = sliding_window_inference(
-        vol,
-        gen_fn,
-        patch_size=patch,
-        stride_inplane=opt.stride_inplane,
-        stride_layer=opt.stride_layer,
-        blend=opt.blend,
-    )
+    if opt.data_parallel and len(jax.devices()) > 1:
+        from mra_gan_tpu.core.mesh import make_mesh
+        from mra_gan_tpu.parallel.spatial import sharded_sliding_window
+
+        out = sharded_sliding_window(
+            make_mesh(), vol, gen_fn, patch_size=patch,
+            stride_inplane=opt.stride_inplane, stride_layer=opt.stride_layer,
+            blend=opt.blend)
+    else:
+        out = sliding_window_inference(
+            vol,
+            gen_fn,
+            patch_size=patch,
+            stride_inplane=opt.stride_inplane,
+            stride_layer=opt.stride_layer,
+            blend=opt.blend,
+        )
     out = from_tanh_range(out)
     print(f"sliding-window decode: {time.time() - t0:.2f}s "
           f"({vol.shape} vol, {patch} patches)")
