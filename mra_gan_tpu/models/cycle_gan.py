@@ -169,12 +169,42 @@ def make_train_step(cfg: CycleGANConfig):
     """
     g_a, g_b, d_a, d_b = cfg.build_nets()
     lam_idt = cfg.lambda_identity
+    # Instance norm (and 'none') is strictly per-sample, so independent
+    # generator inputs can be stacked into ONE batched apply — 6 G forwards
+    # collapse to 3 (G_A[real_A,real_B] -> fake_B,idt_A;
+    # G_B[fake_B,real_B,real_A] -> rec_A,fake_A,idt_B; G_A[fake_A] -> rec_B),
+    # raising MXU utilization at the reference's batch-1 workload. Batch norm
+    # couples samples through batch statistics, so it keeps separate applies.
+    fuse = cfg.norm in ("instance", "none")
 
     def g_loss_fn(g_params, d_params, real_a, real_b, rngs):
-        fake_b = g_a.apply(g_params["g_a"], real_a, train=True, rngs=rngs)
-        rec_a = g_b.apply(g_params["g_b"], fake_b, train=True, rngs=rngs)
-        fake_a = g_b.apply(g_params["g_b"], real_b, train=True, rngs=rngs)
-        rec_b = g_a.apply(g_params["g_a"], fake_a, train=True, rngs=rngs)
+        bsz = real_a.shape[0]
+        if fuse and lam_idt > 0:
+            out_a1 = g_a.apply(g_params["g_a"], jnp.concatenate([real_a, real_b]),
+                               train=True, rngs=rngs)
+            fake_b, idt_a = out_a1[:bsz], out_a1[bsz:]
+            out_b1 = g_b.apply(g_params["g_b"],
+                               jnp.concatenate([fake_b, real_b, real_a]),
+                               train=True, rngs=rngs)
+            rec_a, fake_a, idt_b = out_b1[:bsz], out_b1[bsz:2 * bsz], out_b1[2 * bsz:]
+            rec_b = g_a.apply(g_params["g_a"], fake_a, train=True, rngs=rngs)
+        elif fuse:
+            fake_b = g_a.apply(g_params["g_a"], real_a, train=True, rngs=rngs)
+            out_b1 = g_b.apply(g_params["g_b"],
+                               jnp.concatenate([fake_b, real_b]),
+                               train=True, rngs=rngs)
+            rec_a, fake_a = out_b1[:bsz], out_b1[bsz:]
+            rec_b = g_a.apply(g_params["g_a"], fake_a, train=True, rngs=rngs)
+            idt_a = idt_b = None
+        else:
+            fake_b = g_a.apply(g_params["g_a"], real_a, train=True, rngs=rngs)
+            rec_a = g_b.apply(g_params["g_b"], fake_b, train=True, rngs=rngs)
+            fake_a = g_b.apply(g_params["g_b"], real_b, train=True, rngs=rngs)
+            rec_b = g_a.apply(g_params["g_a"], fake_a, train=True, rngs=rngs)
+            idt_a = (g_a.apply(g_params["g_a"], real_b, train=True, rngs=rngs)
+                     if lam_idt > 0 else None)
+            idt_b = (g_b.apply(g_params["g_b"], real_a, train=True, rngs=rngs)
+                     if lam_idt > 0 else None)
 
         loss_g_a = gan_loss(d_a.apply(d_params["d_a"], fake_b, train=True), True, cfg.gan_mode)
         loss_g_b = gan_loss(d_b.apply(d_params["d_b"], fake_a, train=True), True, cfg.gan_mode)
@@ -182,8 +212,6 @@ def make_train_step(cfg: CycleGANConfig):
         loss_cycle_b = l1_loss(rec_b, real_b) * cfg.lambda_b
 
         if lam_idt > 0:
-            idt_a = g_a.apply(g_params["g_a"], real_b, train=True, rngs=rngs)
-            idt_b = g_b.apply(g_params["g_b"], real_a, train=True, rngs=rngs)
             loss_idt_a = l1_loss(idt_a, real_b) * cfg.lambda_b * lam_idt
             loss_idt_b = l1_loss(idt_b, real_a) * cfg.lambda_a * lam_idt
         else:
@@ -212,12 +240,22 @@ def make_train_step(cfg: CycleGANConfig):
     def d_loss_fn(d_params, real_a, real_b, fake_a, fake_b):
         # loss_D = 0.5*(gan(D(real),1) + gan(D(pooled fake),0)) per D
         # (reference :138-149); both Ds step together (reference :237-240).
-        pred_real_a = d_a.apply(d_params["d_a"], real_b, train=True)
-        pred_fake_a = d_a.apply(d_params["d_a"], fake_b, train=True)
+        # Real and fake stack into one batched apply under per-sample norms.
+        bsz = real_a.shape[0]
+        if fuse:
+            pred_a = d_a.apply(d_params["d_a"],
+                               jnp.concatenate([real_b, fake_b]), train=True)
+            pred_real_a, pred_fake_a = pred_a[:bsz], pred_a[bsz:]
+            pred_b = d_b.apply(d_params["d_b"],
+                               jnp.concatenate([real_a, fake_a]), train=True)
+            pred_real_b, pred_fake_b = pred_b[:bsz], pred_b[bsz:]
+        else:
+            pred_real_a = d_a.apply(d_params["d_a"], real_b, train=True)
+            pred_fake_a = d_a.apply(d_params["d_a"], fake_b, train=True)
+            pred_real_b = d_b.apply(d_params["d_b"], real_a, train=True)
+            pred_fake_b = d_b.apply(d_params["d_b"], fake_a, train=True)
         loss_d_a = 0.5 * (gan_loss(pred_real_a, True, cfg.gan_mode)
                           + gan_loss(pred_fake_a, False, cfg.gan_mode))
-        pred_real_b = d_b.apply(d_params["d_b"], real_a, train=True)
-        pred_fake_b = d_b.apply(d_params["d_b"], fake_a, train=True)
         loss_d_b = 0.5 * (gan_loss(pred_real_b, True, cfg.gan_mode)
                           + gan_loss(pred_fake_b, False, cfg.gan_mode))
         return loss_d_a + loss_d_b, {"D_A": loss_d_a, "D_B": loss_d_b}
