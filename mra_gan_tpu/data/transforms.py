@@ -282,6 +282,53 @@ def rand_crop_by_pos_neg(
     return out
 
 
+def crop_background(
+    image: np.ndarray,
+    label: np.ndarray,
+    patch_size: Sequence[int],
+    threshold: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fixed-size crop centered on the foreground centroid (the legacy
+    CropBackground transform, reference utils/NiftiDataset.py:961-1010)."""
+    patch = [int(p) for p in patch_size]
+    image = pad_to_size(image, patch)
+    label = pad_to_size(label, patch)
+    mask = image > threshold
+    if mask.any():
+        center = ndimage.center_of_mass(mask)
+    else:
+        center = [s / 2 for s in image.shape[:3]]
+    start = [int(np.clip(round(center[a] - patch[a] / 2), 0,
+                         image.shape[a] - patch[a])) for a in range(3)]
+    sl = tuple(slice(start[a], start[a] + patch[a]) for a in range(3))
+    return image[sl], label[sl]
+
+
+def confidence_crop(
+    image: np.ndarray,
+    label: np.ndarray,
+    patch_size: Sequence[int],
+    rng: np.random.Generator,
+    sigma_frac: float = 0.25,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Crop centered near a random foreground voxel of the label, jittered by
+    a Gaussian whose scale is a fraction of the patch (the legacy
+    ConfidenceCrop, reference utils/NiftiDataset.py:1302-1388)."""
+    patch = [int(p) for p in patch_size]
+    image = pad_to_size(image, patch)
+    label = pad_to_size(label, patch)
+    fg = np.argwhere(label > 0)
+    if len(fg):
+        center = fg[rng.integers(len(fg))][:3].astype(np.float64)
+    else:
+        center = np.array([s / 2 for s in image.shape[:3]])
+    center = center + rng.normal(0, sigma_frac * np.asarray(patch), 3)
+    start = [int(np.clip(round(center[a] - patch[a] / 2), 0,
+                         image.shape[a] - patch[a])) for a in range(3)]
+    sl = tuple(slice(start[a], start[a] + patch[a]) for a in range(3))
+    return image[sl], label[sl]
+
+
 def random_crop(
     image: np.ndarray,
     label: np.ndarray,

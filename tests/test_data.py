@@ -204,3 +204,19 @@ def test_lr_schedules():
     for e in range(1, 10):
         lr = s.lr_for_epoch(e, metric=5.0)  # never improves
     assert lr == pytest.approx(1e-3 * 0.2, rel=1e-6)
+
+
+def test_crop_background_and_confidence_crop():
+    from mra_gan_tpu.data.transforms import confidence_crop, crop_background
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((20, 20, 20), np.float32)
+    img[5:15, 5:15, 5:15] = 10.0
+    lbl = np.zeros_like(img)
+    lbl[8:12, 8:12, 8:12] = 1.0
+    ci, cl = crop_background(img, lbl, (8, 8, 8))
+    assert ci.shape == (8, 8, 8)
+    assert ci.mean() > img.mean()  # centered on foreground
+    ci2, cl2 = confidence_crop(img, lbl, (8, 8, 8), rng)
+    assert ci2.shape == (8, 8, 8) and cl2.shape == (8, 8, 8)
+    assert cl2.sum() > 0  # crop lands near label foreground

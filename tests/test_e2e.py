@@ -1,0 +1,81 @@
+"""End-to-end CLI test: organize -> train -> resume -> infer -> evaluate on
+synthetic NIfTIs (the BASELINE 'Smoke' config scale)."""
+import numpy as np
+import pytest
+
+from mra_gan_tpu.data import nifti
+
+
+@pytest.fixture()
+def data_root(tmp_path):
+    rng = np.random.RandomState(0)
+    for sub in ("train/images", "train/labels", "test/images"):
+        (tmp_path / sub).mkdir(parents=True)
+    for i in range(2):
+        base = rng.rand(24, 24, 24).astype(np.float32) * 80 + 10
+        nifti.save(nifti.NiftiImage(data=base, affine=np.eye(4)),
+                   tmp_path / f"train/images/{i}.nii")
+        nifti.save(nifti.NiftiImage(data=base * 0.7 + 5, affine=np.eye(4)),
+                   tmp_path / f"train/labels/{i}.nii")
+    nifti.save(nifti.NiftiImage(data=rng.rand(26, 24, 22).astype(np.float32) * 80,
+                                affine=np.diag([1.0, 1.0, 2.0, 1.0])),
+               tmp_path / "test/images/0.nii")
+    return tmp_path
+
+
+SMALL = ["--patch_size", "16", "16", "16", "--ngf", "4", "--ndf", "4",
+         "--n_layers_D", "1", "--precision", "float32"]
+
+
+def test_train_resume_infer_evaluate(data_root):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import train as train_cli
+    import test as test_cli
+    import evaluate as eval_cli
+
+    ck = str(data_root / "ck")
+    common = ["--data_path", str(data_root / "train"), "--checkpoints_dir", ck,
+              "--name", "e2e", *SMALL, "--pool_size", "2", "--batch_size", "2",
+              "--print_freq", "2", "--save_epoch_freq", "1"]
+    train_cli.main(common + ["--niter", "1", "--niter_decay", "0"])
+    assert (data_root / "ck/e2e/ckpt_latest").exists()
+    assert (data_root / "ck/e2e/loss_log.txt").read_text().count("epoch: 1") >= 1
+    assert (data_root / "ck/e2e/opt.txt").exists()
+
+    # exact resume: continue one more epoch from 'latest'
+    train_cli.main(common + ["--niter", "2", "--niter_decay", "0",
+                             "--continue_train", "--epoch_count", "2"])
+
+    out = str(data_root / "fake.nii")
+    test_cli.main(["--image", str(data_root / "test/images/0.nii"),
+                   "--result", out, "--checkpoints_dir", ck, "--name", "e2e",
+                   *SMALL, "--stride_inplane", "8", "--stride_layer", "8"])
+    res = nifti.load(out)
+    inp = nifti.load(data_root / "test/images/0.nii")
+    assert res.data.shape == inp.data.shape
+    np.testing.assert_allclose(res.affine, inp.affine, atol=1e-5)
+
+    metrics = eval_cli.main(["--pred", out,
+                             "--target", str(data_root / "test/images/0.nii")])
+    assert set(metrics) == {"ssim", "psnr", "mae", "pearson_r"}
+    assert np.isfinite(list(metrics.values())).all()
+
+
+def test_organize_and_check_patches(data_root, tmp_path):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import organize_folder_structure as org
+    import check_loader_patches as chk
+
+    out_root = tmp_path / "organized"
+    org.main(["--images", str(data_root / "train/images"),
+              "--labels", str(data_root / "train/labels"),
+              "--out", str(out_root), "--split", "1", "--no-register"])
+    assert (out_root / "train/images/0.nii").exists()
+    assert (out_root / "test/images/0.nii").exists()
+
+    png = tmp_path / "patches.png"
+    chk.main(["--data_path", str(out_root / "train"), "--patch_size", "8", "8", "8",
+              "--index", "0", "--out", str(png)])
+    assert png.exists() and png.stat().st_size > 1000
