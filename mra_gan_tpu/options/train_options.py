@@ -37,6 +37,8 @@ class TrainOptions(BaseOptions):
                             help="lambda | step | plateau | cosine")
         parser.add_argument("--lr_decay_iters", type=int, default=50,
                             help="decay LR by 0.1 every lr_decay_iters epochs (step policy)")
+        parser.add_argument("--profile_dir", type=str, default="",
+                            help="write a JAX profiler trace of the first epoch here")
         parser.add_argument("--augment", action="store_true",
                             help="random on-device augmentation of each patch batch "
                                  "(noise/blur/rotate/bspline/flip/brightness/contrast)")

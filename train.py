@@ -19,7 +19,8 @@ from mra_gan_tpu.data.dataset import PatchLoader, UnpairedVolumeDataset
 from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state, make_train_step
 from mra_gan_tpu.options import TrainOptions
 from mra_gan_tpu.training.schedules import LRScheduler
-from mra_gan_tpu.utils import StepTimer, Visualizer
+from mra_gan_tpu.utils import StepTimer, Visualizer, print_networks
+from mra_gan_tpu.utils.timers import profile_trace
 
 
 def config_from_opt(opt) -> CycleGANConfig:
@@ -73,6 +74,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(opt.seed)
     rng, init_rng = jax.random.split(rng)
     state = create_state(cfg, init_rng, patch)
+    print_networks(state, verbose=opt.verbose)
 
     if opt.data_parallel and len(jax.devices()) > 1:
         from mra_gan_tpu.core.mesh import make_mesh
@@ -103,7 +105,10 @@ def main(argv=None):
     total_steps = 0
     last_metric = None
 
+    profiling = bool(getattr(opt, "profile_dir", ""))
     for epoch in range(opt.epoch_count, opt.niter + opt.niter_decay + 1):
+        if profiling and epoch == opt.epoch_count:
+            jax.profiler.start_trace(opt.profile_dir)
         epoch_start = time.time()
         lr = sched.lr_for_epoch(epoch, metric=last_metric)
         timer = StepTimer()
@@ -132,6 +137,11 @@ def main(argv=None):
             if total_steps % opt.save_latest_freq == 0:
                 print(f"saving the latest model (epoch {epoch}, total_steps {total_steps})")
                 ckpt.save("latest", state, also_latest=False)
+        if profiling and epoch == opt.epoch_count:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {opt.profile_dir}")
+            profiling = False
         if epoch % opt.save_epoch_freq == 0:
             print(f"saving the model at the end of epoch {epoch}, iters {total_steps}")
             ckpt.save(epoch, state, also_latest=True)
