@@ -12,9 +12,7 @@ state-dict names onto our pytrees so users can migrate trained weights.
 """
 from __future__ import annotations
 
-import re
 from pathlib import Path
-from typing import Any, Optional
 
 import jax
 import numpy as np

@@ -31,7 +31,6 @@ import numpy as np
 from . import nifti
 from .transforms import (
     crop_foreground,
-    pad_to_size,
     rand_crop_by_pos_neg,
     random_crop,
     rescale_0_255,

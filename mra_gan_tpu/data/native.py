@@ -6,7 +6,6 @@ implementations in data/nifti.py when the library can't be built."""
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Optional, Tuple

@@ -15,9 +15,8 @@ inside the division instead.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

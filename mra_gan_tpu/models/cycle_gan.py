@@ -59,12 +59,18 @@ class CycleGANConfig:
     pool_size: int = 50
     beta1: float = 0.5
     dtype: Any = jnp.float32
+    # Dynet auto-configuration inputs (reference models/networks3D.py:348);
+    # set to the training patch size so the stride schedule fits the patch.
+    dynet_sizes: Any = (128, 128, 64)
+    dynet_spacings: Any = (1.5, 1.5, 1.5)
 
     def build_nets(self):
         g_a = define_g(self.output_nc, self.ngf, self.net_g, self.norm,
-                       not self.no_dropout, self.init_type, self.init_gain, self.dtype)
+                       not self.no_dropout, self.init_type, self.init_gain,
+                       self.dtype, self.dynet_sizes, self.dynet_spacings)
         g_b = define_g(self.input_nc, self.ngf, self.net_g, self.norm,
-                       not self.no_dropout, self.init_type, self.init_gain, self.dtype)
+                       not self.no_dropout, self.init_type, self.init_gain,
+                       self.dtype, self.dynet_sizes, self.dynet_spacings)
         use_sigmoid = self.gan_mode == "vanilla"
         d_a = define_d(self.ndf, self.net_d, self.n_layers_d, self.norm,
                        use_sigmoid, self.init_type, self.init_gain, self.dtype)

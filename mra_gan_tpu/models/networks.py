@@ -473,6 +473,8 @@ def define_g(
     init_type: str = "normal",
     init_gain: float = 0.02,
     dtype: Dtype = jnp.float32,
+    dynet_sizes: Tuple[int, int, int] = (128, 128, 64),
+    dynet_spacings: Tuple[float, float, float] = (1.5, 1.5, 1.5),
 ) -> nn.Module:
     """Generator factory keyed by the reference's netG names
     (reference :84-102). input_nc is implied by the input array."""
@@ -489,7 +491,8 @@ def define_g(
     if net_g == "unet_256":
         return UnetGenerator3D(num_downs=8, ngf=ngf, use_dropout=use_dropout, **common)
     if net_g == "Dynet":
-        return DynUNet3D(output_nc=output_nc, init_type=init_type,
+        return DynUNet3D(output_nc=output_nc, sizes=tuple(dynet_sizes),
+                         spacings=tuple(dynet_spacings), init_type=init_type,
                          init_gain=init_gain, dtype=dtype)
     raise NotImplementedError(f"Generator model name [{net_g}] is not recognized")
 

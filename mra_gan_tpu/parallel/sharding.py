@@ -13,8 +13,6 @@ regardless of device count.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -123,3 +123,39 @@ def test_adam_matches_torch_single_param():
         u, s = tx.update(jnp.asarray(g), s, p)
         p = p - 2e-4 * u
     np.testing.assert_allclose(np.asarray(p), wt.detach().numpy(), rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("net_g,patch", [
+    ("unet_custom", (32, 32, 32)),
+    ("Dynet", (16, 16, 16)),
+    ("resnet_9blocks", (16, 16, 16)),
+])
+def test_train_step_other_generators(net_g, patch):
+    cfg = CycleGANConfig(ngf=2, ndf=2, net_g=net_g, n_layers_d=1, pool_size=2,
+                         dynet_sizes=patch)
+    state = create_state(cfg, jax.random.PRNGKey(0), patch)
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    a = jax.random.uniform(jax.random.PRNGKey(1), (1, *patch, 1), minval=-1, maxval=1)
+    b = jax.random.uniform(jax.random.PRNGKey(2), (1, *patch, 1), minval=-1, maxval=1)
+    state, m = step(state, a, b, jax.random.PRNGKey(3), 2e-4)
+    assert all(np.isfinite(float(v)) for v in m.values())
+
+
+def test_pixel_discriminator_training():
+    cfg = CycleGANConfig(ngf=4, ndf=4, net_d="pixel", pool_size=2)
+    patch = (12, 12, 12)
+    state = create_state(cfg, jax.random.PRNGKey(0), patch)
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    a = jnp.zeros((1, *patch, 1))
+    state, m = step(state, a, a, jax.random.PRNGKey(1), 2e-4)
+    assert np.isfinite(float(m["D_A"]))
+
+
+def test_batch_norm_config_runs():
+    cfg = CycleGANConfig(ngf=4, ndf=4, n_layers_d=1, pool_size=2, norm="batch")
+    patch = (12, 12, 12)
+    state = create_state(cfg, jax.random.PRNGKey(0), patch)
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    a = jax.random.uniform(jax.random.PRNGKey(1), (2, *patch, 1))
+    state, m = step(state, a, a, jax.random.PRNGKey(2), 2e-4)
+    assert all(np.isfinite(float(v)) for v in m.values())

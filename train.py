@@ -12,7 +12,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mra_gan_tpu.checkpoint import CheckpointManager
 from mra_gan_tpu.data.dataset import PatchLoader, UnpairedVolumeDataset
@@ -20,7 +19,6 @@ from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state, make_trai
 from mra_gan_tpu.options import TrainOptions
 from mra_gan_tpu.training.schedules import LRScheduler
 from mra_gan_tpu.utils import StepTimer, Visualizer, print_networks
-from mra_gan_tpu.utils.timers import profile_trace
 
 
 def config_from_opt(opt) -> CycleGANConfig:
@@ -44,6 +42,7 @@ def config_from_opt(opt) -> CycleGANConfig:
         lambda_co_b=getattr(opt, "lambda_co_B", 2.0),
         pool_size=getattr(opt, "pool_size", 50),
         beta1=getattr(opt, "beta1", 0.5),
+        dynet_sizes=tuple(int(x) for x in opt.patch_size),
         dtype=jnp.bfloat16 if opt.precision == "bfloat16" else jnp.float32,
     )
 
