@@ -56,8 +56,95 @@ def sliding_window_inference(
 ) -> np.ndarray:
     """volume: (D, H, W) float32 in the generator's input range.
     generate_fn: jittable (B, pd, ph, pw, 1) -> (B, pd, ph, pw, 1).
-    Returns (D, H, W) float32 in the generator's output range."""
+    Returns (D, H, W) float32 in the generator's output range.
+
+    When every stride divides its patch dim (the reference's default 64/32),
+    the decode uses the overlap-add fast path: a regular patch grid, one scan
+    of batched generator calls, then r^3 parity-class reshape-adds — no
+    per-patch scatter (which copies the whole accumulator each iteration and
+    dominated wall-clock: 24s -> ~patch-compute-bound for a 256^2x128
+    volume on v5e)."""
     patch = tuple(int(p) for p in patch_size)
+    strides = (int(stride_layer), int(stride_inplane), int(stride_inplane))
+    if all(p % s == 0 for p, s in zip(patch, strides)):
+        return _overlap_add_inference(volume, generate_fn, patch, strides,
+                                      blend, batch)
+    return _scan_inference(volume, generate_fn, patch, strides, blend, batch)
+
+
+# compiled decode programs, keyed by (generate_fn id, geometry): without this
+# every sliding_window_inference call would re-trace and re-compile the
+# unrolled decode graph (~15 s on v5e), dwarfing the actual compute
+_DECODE_CACHE: dict = {}
+
+
+def _overlap_add_inference(volume, generate_fn, patch, strides, blend, batch):
+    vshape = volume.shape
+    # pad to a regular grid: size = patch + k*stride
+    padded = []
+    for v, p, s in zip(vshape, patch, strides):
+        k = max(0, -(-(v - p) // s))
+        padded.append(p + k * s)
+    vol = np.pad(volume.astype(np.float32),
+                 [(0, pd - v) for pd, v in zip(padded, vshape)])
+    ns = [(pd - p) // s + 1 for pd, p, s in zip(padded, patch, strides)]
+    rs = [p // s for p, s in zip(patch, strides)]
+
+    starts = np.array([(a * strides[0], b * strides[1], c * strides[2])
+                       for a in range(ns[0]) for b in range(ns[1])
+                       for c in range(ns[2])], np.int32)
+    n = len(starts)
+    n_pad = (-n) % batch
+    if n_pad:
+        starts = np.concatenate([starts, np.zeros((n_pad, 3), np.int32)])
+    starts_b = starts.reshape(-1, batch, 3)
+
+    win = gaussian_window(patch) if blend == "gaussian" else np.ones(patch, np.float32)
+
+    # weight volume: overlap-add of the window at every start (host, once)
+    wsum = np.zeros(padded, np.float32)
+    for (a, b, c) in starts[:n]:
+        wsum[a:a + patch[0], b:b + patch[1], c:c + patch[2]] += win
+
+    key = ("oa", id(generate_fn), patch, strides, blend, batch,
+           tuple(padded), n)
+    decode = _DECODE_CACHE.get(key)
+    if decode is None:
+        @jax.jit
+        def decode(vol, starts_b, win):
+            def body(_, sb):
+                patches = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(vol, (s[0], s[1], s[2]), patch)
+                )(sb)
+                out = generate_fn(patches[..., None])[..., 0].astype(jnp.float32)
+                return None, out * win
+
+            _, outs = jax.lax.scan(body, None, starts_b)
+            outs = outs.reshape(-1, *patch)[:n].reshape(ns[0], ns[1], ns[2], *patch)
+
+            acc = jnp.zeros(tuple(padded), jnp.float32)
+            for a in range(rs[0]):
+                for b in range(rs[1]):
+                    for c in range(rs[2]):
+                        sel = outs[a::rs[0], b::rs[1], c::rs[2]]
+                        m = sel.shape[:3]
+                        dense = sel.transpose(0, 3, 1, 4, 2, 5).reshape(
+                            m[0] * patch[0], m[1] * patch[1], m[2] * patch[2])
+                        off = (a * strides[0], b * strides[1], c * strides[2])
+                        pad_cfg = [(off[i], padded[i] - off[i] - dense.shape[i])
+                                   for i in range(3)]
+                        acc = acc + jnp.pad(dense, pad_cfg)
+            return acc
+
+        _DECODE_CACHE[key] = decode
+
+    acc = np.asarray(decode(jnp.asarray(vol), jnp.asarray(starts_b), jnp.asarray(win)))
+    out = acc / np.maximum(wsum, 1e-8)
+    return out[: vshape[0], : vshape[1], : vshape[2]]
+
+
+def _scan_inference(volume, generate_fn, patch, strides, blend, batch):
+    stride_layer, stride_inplane, _ = strides
     vshape = volume.shape
     padded = [max(v, p) for v, p in zip(vshape, patch)]
     pads = [(0, pd - v) for pd, v in zip(padded, vshape)]

@@ -47,3 +47,20 @@ def test_constant_shift_generator():
         vol, lambda x: x + 0.5, patch_size=(8, 8, 8),
         stride_inplane=4, stride_layer=4, batch=4)
     np.testing.assert_allclose(out, 0.5, atol=1e-5)
+
+
+def test_overlap_add_matches_scan_path():
+    from mra_gan_tpu.infer.sliding_window import _overlap_add_inference, _scan_inference
+
+    vol = np.random.RandomState(2).rand(20, 24, 28).astype(np.float32)
+    gen = lambda x: x * 0.5 + 0.1
+    fast = _overlap_add_inference(vol, gen, (8, 8, 8), (4, 4, 4), "gaussian", 2)
+    slow = _scan_inference(vol, gen, (8, 8, 8), (4, 4, 4), "gaussian", 2)
+    np.testing.assert_allclose(fast, slow, atol=2e-4)
+
+
+def test_non_divisible_stride_falls_back():
+    vol = np.random.RandomState(3).rand(16, 16, 16).astype(np.float32)
+    out = sliding_window_inference(vol, lambda x: x, patch_size=(8, 8, 8),
+                                   stride_inplane=5, stride_layer=3, batch=2)
+    np.testing.assert_allclose(out, vol, atol=1e-4)
