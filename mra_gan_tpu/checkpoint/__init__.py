@@ -1,1 +1,1 @@
-from .io import CheckpointManager, load_torch_network
+from .io import CheckpointManager, load_torch_network, save_torch_network

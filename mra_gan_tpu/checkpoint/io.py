@@ -150,3 +150,53 @@ def load_torch_network(pth_path, params, arch: str = "resnet"):
         if b is not None:
             set_in(new_params, path, "bias", b.astype(np.float32))
     return new_params
+
+
+def save_torch_network(params, pth_path, arch: str = "resnet") -> None:
+    """Export our param pytree to a reference-style torch state dict — the
+    inverse of load_torch_network, so models trained here can be loaded by
+    the reference's torch code (reference models/base_model.py:130-148).
+
+    Key names follow the reference Sequential layout for ResnetGenerator
+    (models/networks3D.py:185-213): model.{i}.weight/.bias with the blocks'
+    convs under model.{i}.conv_block.{j}."""
+    import torch
+
+    inner = dict(params["params"])
+    if arch == "resnet":
+        order = _resnet_module_order(inner)
+        n_blocks = sum(1 for k in inner if k.startswith("ResnetBlock3D_"))
+        # torch Sequential indices: 0 pad, 1 conv, 2 norm, 3 relu,
+        # 4 conv, 5 norm, 6 relu, 7 conv, 8 norm, 9 relu,
+        # 10..10+n-1 blocks, then convT at 10+n, norm, relu, convT+3, ...,
+        # pad, conv, tanh
+        names = ["model.1", "model.4", "model.7"]
+        for i in range(n_blocks):
+            names += [f"model.{10 + i}.conv_block.1",
+                      f"model.{10 + i}.conv_block.5"]
+        base = 10 + n_blocks
+        names += [f"model.{base}", f"model.{base + 3}", f"model.{base + 7}"]
+    elif arch == "nlayer_d":
+        order = _nlayer_d_module_order(inner)
+        n = len(order)
+        names = ["model.0"]
+        for i in range(1, n - 1):
+            names.append(f"model.{3 * i - 1}")
+        names.append(f"model.{3 * (n - 1) - 1}")
+    else:
+        raise ValueError(arch)
+
+    sd = {}
+    for path, name in zip(order, names):
+        node = inner
+        for p in path:
+            node = node[p]
+        k = np.asarray(node["kernel"], np.float32)
+        transposed = path[-1].startswith("ConvTranspose")
+        if transposed:
+            sd[name + ".weight"] = np.transpose(k, (3, 4, 0, 1, 2))  # DHWIO->IODHW
+        else:
+            sd[name + ".weight"] = np.transpose(k, (4, 3, 0, 1, 2))  # DHWIO->OIDHW
+        if "bias" in node:
+            sd[name + ".bias"] = np.asarray(node["bias"], np.float32)
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, pth_path)

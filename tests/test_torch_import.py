@@ -124,3 +124,41 @@ def test_import_count_mismatch_raises(tmp_path):
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)), train=False)
     with pytest.raises(ValueError, match="conv count mismatch"):
         load_torch_network(pth, params, arch="resnet")
+
+
+def test_export_import_roundtrip(tmp_path):
+    from mra_gan_tpu.checkpoint import save_torch_network
+
+    net = ResnetGenerator3D(output_nc=1, ngf=NGF, n_blocks=BLOCKS)
+    x = np.random.RandomState(2).randn(1, 16, 16, 16, 1).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(5), jnp.asarray(x), train=False)
+    pth = tmp_path / "export.pth"
+    save_torch_network(params, pth, arch="resnet")
+    back = load_torch_network(pth, params, arch="resnet")
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0]):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6,
+                                   err_msg=str(pa))
+
+
+def test_export_loads_into_torch_model(tmp_path):
+    from mra_gan_tpu.checkpoint import save_torch_network
+
+    net = ResnetGenerator3D(output_nc=1, ngf=NGF, n_blocks=BLOCKS)
+    x = np.random.RandomState(3).randn(1, 16, 16, 16, 1).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(7), jnp.asarray(x), train=False)
+    pth = tmp_path / "export.pth"
+    save_torch_network(params, pth, arch="resnet")
+
+    tg = make_torch_generator()
+    sd = torch.load(pth, weights_only=True)
+    # the reference nets wrap their Sequential as self.model ("model." prefix,
+    # reference models/networks3D.py:215); our test Sequential is bare
+    sd = {k[len("model."):]: v for k, v in sd.items()}
+    tg.load_state_dict(sd, strict=True)
+    with torch.no_grad():
+        want = tg(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)))).numpy()
+    want = np.transpose(want, (0, 2, 3, 4, 1))
+    got = np.asarray(net.apply(params, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
