@@ -122,8 +122,6 @@ def load_torch_network(pth_path, params, arch: str = "resnet"):
             f"conv count mismatch: checkpoint has {len(torch_convs)}, "
             f"template expects {len(order)} — wrong architecture/flags?")
 
-    new_params = jax.tree.map(lambda x: x, params)  # deep-ish copy of refs
-
     def set_in(tree, path, leaf_name, value):
         node = tree["params"]
         for p in path[:-1]:
