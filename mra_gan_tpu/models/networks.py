@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ..ops.conv import conv3d, conv_transpose3d, replication_pad3d
 from ..ops.init import get_initializer
 from ..ops.norm import instance_norm, instance_norm_act_auto
-from ..ops.s2d import conv3d_s2d
+from ..ops.s2d import conv3d_s2d, conv3d_s2d_stride2
 from ..ops.subpixel import conv_transpose3d_subpixel
 
 Dtype = Any
@@ -83,7 +83,16 @@ class Conv3D(nn.Module):
             else:
                 y = conv3d(replication_pad3d(xc, half), kc, self.stride, 0)
         else:
-            y = conv3d(xc, kc, self.stride, self.padding)
+            s = _canon(self.stride)
+            p = self.padding
+            # stride-2 convs with skinny input channels (the PatchGAN's and
+            # U-Net's first layers, cin=1) take the exact S2D(2) path: the
+            # conv becomes stride-1 with 8*cin channels (ops/s2d.py).
+            if (s == (2, 2, 2) and isinstance(p, int) and cin < 8
+                    and all(d % 2 == 0 for d in x.shape[1:4])):
+                y = conv3d_s2d_stride2(xc, kc, p)
+            else:
+                y = conv3d(xc, kc, self.stride, self.padding)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)

@@ -115,3 +115,60 @@ def conv3d_s2d(x: jax.Array, w: jax.Array, f: int = 4,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=x.dtype)
     return depth_to_space(out, f)
+
+
+@lru_cache(maxsize=None)
+def _stride2_map(k: int, p: int) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Per-axis tap table for stride-2 convs in S2D(2) domain:
+    out[o] = sum_t w[t] x[2o + t - p]  =>  cell offset u = floor((t-p)/2),
+    input parity pi = (t-p) mod 2, i.e. t = 2*u + pi + p."""
+    u_min = (0 - p) // 2  # floor(-p/2)
+    u_max = (k - 1 - p) // 2
+    ku = u_max - u_min + 1
+    T = np.zeros((ku, 2), np.int32)
+    M = np.zeros((ku, 2), bool)
+    for ui in range(ku):
+        for pi in range(2):
+            t = 2 * (ui + u_min) + pi + p
+            if 0 <= t < k:
+                T[ui, pi] = t
+                M[ui, pi] = True
+    return T, M, ku, -u_min
+
+
+def remap_weight_s2d_stride2(w: jax.Array, p: int):
+    """(k,k,k,ci,co) -> (k',k',k', 8*ci, co) for stride-2 conv on S2D(2)."""
+    k = w.shape[0]
+    T, M, ku, pad_lo = _stride2_map(k, p)
+    # axes: (u_d,pi_d, u_h,pi_h, u_w,pi_w, ci, co)
+    wg = w[T[:, :, None, None, None, None],
+           T[None, None, :, :, None, None],
+           T[None, None, None, None, :, :], :, :]
+    m = (M[:, :, None, None, None, None]
+         & M[None, None, :, :, None, None]
+         & M[None, None, None, None, :, :])
+    wg = jnp.where(m[..., None, None], wg, 0)
+    # -> (u_d, u_h, u_w, pi_d, pi_h, pi_w, ci, co)
+    wg = wg.transpose(0, 2, 4, 1, 3, 5, 6, 7)
+    return wg.reshape(ku, ku, ku, 8 * w.shape[3], w.shape[4]), pad_lo, ku
+
+
+def conv3d_s2d_stride2(x: jax.Array, w: jax.Array, padding: int = 1) -> jax.Array:
+    """Exact stride-2 zero-padded conv computed on the S2D(2) grid — the
+    output grid IS the cell grid, so the conv becomes stride-1 with channels
+    8*ci (MXU-friendly for skinny ci like the PatchGAN's first layer).
+    x: (N,D,H,W,ci) with even spatial dims; w: (k,k,k,ci,co)."""
+    n, d, h, wd, ci = x.shape
+    assert d % 2 == 0 and h % 2 == 0 and wd % 2 == 0, x.shape
+    k = w.shape[0]
+    p = padding
+    wp, pad_lo, ku = remap_weight_s2d_stride2(w, p)
+    xs = space_to_depth(x, 2)
+    n_outs = [(s_ + 2 * p - k) // 2 + 1 for s_ in (d, h, wd)]
+    pads = [(pad_lo, max((n_o - 1 + (ku - 1 - pad_lo)) - (s_ // 2 - 1), 0))
+            for n_o, s_ in zip(n_outs, (d, h, wd))]
+    out = jax.lax.conv_general_dilated(
+        xs, wp, (1, 1, 1), pads,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)
+    return out[:, :n_outs[0], :n_outs[1], :n_outs[2], :]

@@ -66,3 +66,26 @@ def test_conv3d_module_dispatch():
     b = params["params"]["bias"]
     ref = conv3d(replication_pad3d(x, 3), k) + b
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("k,p,ci,co,sz", [(4, 1, 1, 32, 16), (3, 1, 2, 8, 12), (2, 0, 1, 4, 8)])
+def test_conv3d_s2d_stride2_exact(k, p, ci, co, sz):
+    from mra_gan_tpu.ops.s2d import conv3d_s2d_stride2
+
+    rng = np.random.RandomState(k + p)
+    x = jnp.asarray(rng.randn(2, sz, sz + 2, sz, ci).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, k, k, ci, co).astype(np.float32) * 0.1)
+    ref = conv3d(x, w, stride=2, padding=p)
+    got = conv3d_s2d_stride2(x, w, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_conv3d_s2d_stride2_grad():
+    from mra_gan_tpu.ops.s2d import conv3d_s2d_stride2
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, 1).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 4, 4, 1, 4).astype(np.float32) * 0.1)
+    gd = jax.grad(lambda w: jnp.sum(conv3d(x, w, stride=2, padding=1) ** 2))(w)
+    gs = jax.grad(lambda w: jnp.sum(conv3d_s2d_stride2(x, w, 1) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), rtol=1e-3, atol=1e-4)
