@@ -58,37 +58,185 @@ class CheckpointManager:
 
 
 # ---------------------------------------------------------------------------
-# torch import shim
+# torch import/export shim
+#
+# Explicit per-architecture layouts mapping our flax param paths onto the
+# reference's torch state-dict keys, covering the full zoo the reference can
+# save/load (reference models/base_model.py:89-148): ResnetGenerator (6/9
+# blocks, models/networks3D.py:173-263), UnetGenerator (5/7/8 downs,
+# :270-343), NLayerDiscriminator (:381-425) and PixelDiscriminator (:428-450).
+# 'Dynet' is MONAI's DynUNet (:346-377); our DynUNet3D is a
+# capability-equivalent rebuild with a different filter schedule, so no
+# weight mapping exists — documented error below.
+#
+# Norm layers: the reference's instance norm is affine-free but
+# track_running_stats=True (models/networks3D.py:19), so every reference
+# checkpoint carries running_mean/running_var/num_batches_tracked buffers and
+# the reference's strict load_state_dict (base_model.py:148) requires
+# running_mean/running_var to be present (num_batches_tracked is popped by
+# its __patch_instance_norm_state_dict, base_model.py:114-127). The buffers
+# are dead at reference inference — its test.py never calls model.eval(), so
+# instance statistics are always used — which is why import drops them and
+# export emits fresh zeros/ones.
 
 
-def _resnet_module_order(params: dict) -> list:
-    """Creation-order module paths of ResnetGenerator3D, matching the torch
-    Sequential order of the reference's ResnetGenerator
-    (reference models/networks3D.py:185-213):
-    stem conv, 2 down convs, n blocks x 2 convs, 2 up convs, head conv."""
-    n_blocks = sum(1 for k in params if k.startswith("ResnetBlock3D_"))
-    order = [("Conv3D_0",), ("Conv3D_1",), ("Conv3D_2",)]
+class _Entry:
+    """One conv in torch registration order.
+
+    flax:    path tuple into our params tree
+    torch:   torch Sequential key base ('model.1' -> weights 'model.1.weight')
+    norm:    key base of the norm layer that follows this conv, or None
+    bias:    whether the torch conv has a bias parameter
+    """
+
+    __slots__ = ("flax", "torch", "norm", "bias")
+
+    def __init__(self, flax, torch, norm=None, bias=True):
+        self.flax, self.torch, self.norm, self.bias = flax, torch, norm, bias
+
+
+def _resnet_layout(n_blocks: int, use_dropout: bool) -> list:
+    """ResnetGenerator Sequential indices (reference models/networks3D.py:
+    185-213): 0 pad, 1 conv, 2 norm, 3 relu | 4,5,6 down1 | 7,8,9 down2 |
+    10..10+n-1 blocks | up1 at base, up2 at base+3 | base+6 pad, base+7 conv,
+    base+8 tanh. Block conv_block (reference :229-259): 0 pad, 1 conv,
+    2 norm, 3 relu, [4 dropout,] then pad, conv, norm — the second conv sits
+    at index 5 without dropout and 6 with (the reference inserts Dropout at
+    4, shifting the tail)."""
+    c2 = 6 if use_dropout else 5
+    ents = [
+        _Entry(("Conv3D_0",), "model.1", "model.2"),
+        _Entry(("Conv3D_1",), "model.4", "model.5"),
+        _Entry(("Conv3D_2",), "model.7", "model.8"),
+    ]
     for i in range(n_blocks):
-        order.append((f"ResnetBlock3D_{i}", "Conv3D_0"))
-        order.append((f"ResnetBlock3D_{i}", "Conv3D_1"))
-    order += [("ConvTranspose3D_0",), ("ConvTranspose3D_1",), ("Conv3D_3",)]
-    return order
+        b = f"model.{10 + i}.conv_block"
+        ents.append(_Entry((f"ResnetBlock3D_{i}", "Conv3D_0"), f"{b}.1", f"{b}.2"))
+        ents.append(_Entry((f"ResnetBlock3D_{i}", "Conv3D_1"), f"{b}.{c2}", f"{b}.{c2 + 1}"))
+    base = 10 + n_blocks
+    ents += [
+        _Entry(("ConvTranspose3D_0",), f"model.{base}", f"model.{base + 1}"),
+        _Entry(("ConvTranspose3D_1",), f"model.{base + 3}", f"model.{base + 4}"),
+        _Entry(("Conv3D_3",), f"model.{base + 7}"),
+    ]
+    return ents
 
 
-def _nlayer_d_module_order(params: dict) -> list:
-    n = sum(1 for k in params if k.startswith("Conv3D_"))
-    return [(f"Conv3D_{i}",) for i in range(n)]
+def _unet_layout(n_levels: int) -> list:
+    """UnetGenerator's recursive UnetSkipConnectionBlock keys (reference
+    models/networks3D.py:293-337). Per level the inner Sequential is:
+    outermost [downconv(0), sub(1), uprelu(2), upconv(3), tanh(4)];
+    middle    [downrelu(0), downconv(1), downnorm(2), sub(3), uprelu(4),
+               upconv(5), upnorm(6), (dropout appended — indices stable)];
+    innermost [downrelu(0), downconv(1), uprelu(2), upconv(3), upnorm(4)].
+    All convs have bias=False except the outermost upconv (the reference's
+    use_bias check compares to InstanceNorm2d and is always False in the 3D
+    zoo, reference :298-301; the outermost upconv takes torch's default
+    bias=True, reference :312-314).
+
+    Our flax blocks are flat siblings created innermost-first
+    (UnetSkipBlock3D_0 = innermost, _{n_levels-1} = outermost)."""
+    ents = []
+    ups = []  # built on the way down, emitted reversed (registration order)
+    prefix = "model.model"
+    for lvl in range(n_levels):  # outermost -> innermost
+        fx = f"UnetSkipBlock3D_{n_levels - 1 - lvl}"
+        outer = lvl == 0
+        inner = lvl == n_levels - 1
+        if outer:
+            ents.append(_Entry((fx, "Conv3D_0"), f"{prefix}.0", bias=False))
+            ups.append(_Entry((fx, "ConvTranspose3D_0"), f"{prefix}.3", bias=True))
+            prefix = f"{prefix}.1.model"
+        elif inner:
+            ents.append(_Entry((fx, "Conv3D_0"), f"{prefix}.1", bias=False))
+            ups.append(_Entry((fx, "ConvTranspose3D_0"), f"{prefix}.3",
+                              f"{prefix}.4", bias=False))
+        else:
+            ents.append(_Entry((fx, "Conv3D_0"), f"{prefix}.1", f"{prefix}.2",
+                               bias=False))
+            ups.append(_Entry((fx, "ConvTranspose3D_0"), f"{prefix}.5",
+                              f"{prefix}.6", bias=False))
+            prefix = f"{prefix}.3.model"
+    return ents + ups[::-1]
+
+
+def _nlayer_d_layout(n_layers: int) -> list:
+    """NLayerDiscriminator Sequential (reference models/networks3D.py:
+    389-422): conv(0), lrelu(1), then [conv, norm, lrelu] per middle layer,
+    a stride-1 [conv, norm, lrelu], and the final 1-channel conv. First and
+    last convs have torch-default bias=True; norm-adjacent convs use
+    use_bias (True for instance norm, reference :384-387)."""
+    ents = [_Entry(("Conv3D_0",), "model.0")]
+    idx = 2
+    for n in range(1, n_layers + 1):  # middles + the stride-1 layer
+        ents.append(_Entry((f"Conv3D_{n}",), f"model.{idx}", f"model.{idx + 1}"))
+        idx += 3
+    ents.append(_Entry((f"Conv3D_{n_layers + 1}",), f"model.{idx}"))
+    return ents
+
+
+def _pixel_d_layout() -> list:
+    """PixelDiscriminator — note its Sequential attribute is ``net``, not
+    ``model`` (reference models/networks3D.py:436-447)."""
+    return [
+        _Entry(("Conv3D_0",), "net.0"),
+        _Entry(("Conv3D_1",), "net.2", "net.3"),
+        _Entry(("Conv3D_2",), "net.5"),
+    ]
+
+
+_ARCH_ALIASES = {
+    "resnet": "resnet", "resnet_6blocks": "resnet", "resnet_9blocks": "resnet",
+    "unet": "unet", "unet_custom": "unet", "unet_128": "unet", "unet_256": "unet",
+    "nlayer_d": "nlayer_d", "basic": "nlayer_d", "n_layers": "nlayer_d",
+    "pixel_d": "pixel_d", "pixel": "pixel_d",
+}
+
+
+def _layout_for(params: dict, arch: str, use_dropout: bool) -> list:
+    """Build the layout for ``arch``, sizing it from the params tree."""
+    if arch == "Dynet":
+        raise NotImplementedError(
+            "'Dynet' is MONAI's DynUNet (reference models/networks3D.py:"
+            "346-377); our DynUNet3D is a capability-equivalent rebuild "
+            "(different filter schedule and residual stem), so there is no "
+            "weight-level mapping. Retrain, or use one of the mappable "
+            "architectures (resnet_*/unet_*/basic/n_layers/pixel).")
+    kind = _ARCH_ALIASES.get(arch)
+    if kind is None:
+        raise ValueError(f"unknown arch {arch!r}; expected one of "
+                         f"{sorted(_ARCH_ALIASES)} or 'Dynet'")
+    if kind == "resnet":
+        return _resnet_layout(
+            sum(1 for k in params if k.startswith("ResnetBlock3D_")), use_dropout)
+    if kind == "unet":
+        return _unet_layout(
+            sum(1 for k in params if k.startswith("UnetSkipBlock3D_")))
+    if kind == "nlayer_d":
+        return _nlayer_d_layout(
+            sum(1 for k in params if k.startswith("Conv3D_")) - 2)
+    return _pixel_d_layout()
+
+
+def _get_node(params: dict, path):
+    node = params
+    for p in path:
+        node = node[p]
+    return node
 
 
 def load_torch_network(pth_path, params, arch: str = "resnet"):
     """Import a reference ``*.pth`` state dict into our param pytree.
 
-    arch: 'resnet' (ResnetGenerator, reference models/networks3D.py:173-263)
-    or 'nlayer_d' (NLayerDiscriminator, :381-425). Conv kernels transpose
-    OIDHW -> DHWIO; transposed convs IODHW -> DHWIO; InstanceNorm running
-    stats are dropped (never used at reference inference, see ops/norm.py).
+    arch: any reference netG/netD name ('resnet_6blocks', 'resnet_9blocks',
+    'unet_custom', 'unet_128', 'unet_256', 'basic', 'n_layers', 'pixel') or
+    the shorthands 'resnet'/'unet'/'nlayer_d'/'pixel_d'. Conv kernels
+    transpose OIDHW -> DHWIO; transposed convs IODHW -> DHWIO; InstanceNorm
+    running stats are dropped (dead at reference inference — its test.py
+    never calls model.eval(), so instance statistics are always used).
     DataParallel 'module.' prefixes are stripped like the reference's
-    new_state_dict (reference utils/utils.py:23-32).
+    new_state_dict (reference utils/utils.py:23-32). Dropout variants are
+    autodetected from the checkpoint's key indices.
 
     ``params`` is the linen variables dict {'params': {...}}; returns a new
     variables dict with imported weights (float32).
@@ -98,103 +246,85 @@ def load_torch_network(pth_path, params, arch: str = "resnet"):
     sd = torch.load(pth_path, map_location="cpu", weights_only=True)
     sd = {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
 
-    # ordered conv (weight, bias) pairs from the torch Sequential
-    bases = []
-    for k in sd:
-        if k.endswith(".weight") and sd[k].ndim == 5:
-            bases.append(k[: -len(".weight")])
-
-    def seq_key(base: str):
-        return [int(p) if p.isdigit() else -1 for p in base.split(".")]
-
-    bases.sort(key=seq_key)
-    torch_convs = [
-        (sd[b + ".weight"].numpy(),
-         sd[b + ".bias"].numpy() if (b + ".bias") in sd else None)
-        for b in bases
-    ]
-
     inner = dict(params["params"])
-    order = (_resnet_module_order(inner) if arch == "resnet"
-             else _nlayer_d_module_order(inner))
-    if len(order) != len(torch_convs):
+    use_dropout = any(".conv_block.6.weight" in k for k in sd)
+    layout = _layout_for(inner, arch, use_dropout)
+
+    conv_keys = {k for k, v in sd.items() if k.endswith(".weight") and v.ndim == 5}
+    want = {e.torch + ".weight" for e in layout}
+    if conv_keys != want:
         raise ValueError(
-            f"conv count mismatch: checkpoint has {len(torch_convs)}, "
-            f"template expects {len(order)} — wrong architecture/flags?")
+            f"conv count mismatch: checkpoint has {len(conv_keys)} conv "
+            f"weights, template expects {len(want)} — wrong architecture/"
+            f"flags? unexpected: {sorted(conv_keys - want)[:4]}, "
+            f"missing: {sorted(want - conv_keys)[:4]}")
 
-    def set_in(tree, path, leaf_name, value):
-        node = tree["params"]
-        for p in path[:-1]:
-            node = node[p]
-        mod = dict(node[path[-1]])
-        if value.shape != mod[leaf_name].shape:
-            raise ValueError(
-                f"shape mismatch at {'/'.join(path)}/{leaf_name}: "
-                f"{value.shape} vs {mod[leaf_name].shape}")
-        mod[leaf_name] = value
-        node[path[-1]] = mod
-
-    # rebuild as mutable nested dicts
     import copy
 
     new_params = {"params": copy.deepcopy(jax.tree.map(np.asarray, params["params"]))}
-    for path, (w, b) in zip(order, torch_convs):
-        transposed = path[-1].startswith("ConvTranspose")
+    for e in layout:
+        node = _get_node(new_params["params"], e.flax)
+        w = sd[e.torch + ".weight"].numpy()
+        transposed = e.flax[-1].startswith("ConvTranspose")
         if transposed:
             k = np.transpose(w, (2, 3, 4, 0, 1)).astype(np.float32)  # IODHW->DHWIO
         else:
             k = np.transpose(w, (2, 3, 4, 1, 0)).astype(np.float32)  # OIDHW->DHWIO
-        set_in(new_params, path, "kernel", k)
+        if k.shape != node["kernel"].shape:
+            raise ValueError(
+                f"shape mismatch at {'/'.join(e.flax)}: {k.shape} vs "
+                f"{node['kernel'].shape}")
+        node["kernel"] = k
+        b = sd.get(e.torch + ".bias")
         if b is not None:
-            set_in(new_params, path, "bias", b.astype(np.float32))
+            if "bias" not in node:
+                raise ValueError(f"checkpoint has a bias at {e.torch} but "
+                                 f"{'/'.join(e.flax)} takes none")
+            node["bias"] = b.numpy().astype(np.float32)
     return new_params
 
 
-def save_torch_network(params, pth_path, arch: str = "resnet") -> None:
+def save_torch_network(params, pth_path, arch: str = "resnet",
+                       use_dropout: bool = False) -> None:
     """Export our param pytree to a reference-style torch state dict — the
-    inverse of load_torch_network, so models trained here can be loaded by
-    the reference's torch code (reference models/base_model.py:130-148).
+    inverse of load_torch_network, so models trained here load into the
+    reference's torch code via its strict load_state_dict
+    (reference models/base_model.py:130-148).
 
-    Key names follow the reference Sequential layout for ResnetGenerator
-    (models/networks3D.py:185-213): model.{i}.weight/.bias with the blocks'
-    convs under model.{i}.conv_block.{j}."""
+    For every norm position we also emit running_mean=zeros/running_var=ones/
+    num_batches_tracked=0: the reference's instance norm tracks running stats
+    (models/networks3D.py:19) so its strict load requires the buffer keys,
+    but they are dead state at reference inference (test.py never calls
+    model.eval()), so fresh values are exact.
+
+    ``use_dropout`` must match the flags the reference net will be built
+    with — it shifts the residual blocks' second-conv index (reference
+    models/networks3D.py:244-256)."""
     import torch
 
     inner = dict(params["params"])
-    if arch == "resnet":
-        order = _resnet_module_order(inner)
-        n_blocks = sum(1 for k in inner if k.startswith("ResnetBlock3D_"))
-        # torch Sequential indices: 0 pad, 1 conv, 2 norm, 3 relu,
-        # 4 conv, 5 norm, 6 relu, 7 conv, 8 norm, 9 relu,
-        # 10..10+n-1 blocks, then convT at 10+n, norm, relu, convT+3, ...,
-        # pad, conv, tanh
-        names = ["model.1", "model.4", "model.7"]
-        for i in range(n_blocks):
-            names += [f"model.{10 + i}.conv_block.1",
-                      f"model.{10 + i}.conv_block.5"]
-        base = 10 + n_blocks
-        names += [f"model.{base}", f"model.{base + 3}", f"model.{base + 7}"]
-    elif arch == "nlayer_d":
-        order = _nlayer_d_module_order(inner)
-        n = len(order)
-        names = ["model.0"]
-        for i in range(1, n - 1):
-            names.append(f"model.{3 * i - 1}")
-        names.append(f"model.{3 * (n - 1) - 1}")
-    else:
-        raise ValueError(arch)
+    layout = _layout_for(inner, arch, use_dropout)
 
     sd = {}
-    for path, name in zip(order, names):
-        node = inner
-        for p in path:
-            node = node[p]
+    for e in layout:
+        node = _get_node(inner, e.flax)
         k = np.asarray(node["kernel"], np.float32)
-        transposed = path[-1].startswith("ConvTranspose")
+        transposed = e.flax[-1].startswith("ConvTranspose")
         if transposed:
-            sd[name + ".weight"] = np.transpose(k, (3, 4, 0, 1, 2))  # DHWIO->IODHW
+            w = np.transpose(k, (3, 4, 0, 1, 2))  # DHWIO->IODHW
+            cout = k.shape[4]
         else:
-            sd[name + ".weight"] = np.transpose(k, (4, 3, 0, 1, 2))  # DHWIO->OIDHW
+            w = np.transpose(k, (4, 3, 0, 1, 2))  # DHWIO->OIDHW
+            cout = k.shape[4]
+        sd[e.torch + ".weight"] = torch.tensor(w)
         if "bias" in node:
-            sd[name + ".bias"] = np.asarray(node["bias"], np.float32)
-    torch.save({k: torch.tensor(v) for k, v in sd.items()}, pth_path)
+            sd[e.torch + ".bias"] = torch.tensor(np.asarray(node["bias"], np.float32))
+        elif e.bias:
+            # torch conv has a bias we never created (shouldn't happen with
+            # matching flags) — emit zeros so strict load still succeeds
+            sd[e.torch + ".bias"] = torch.zeros(cout)
+        if e.norm is not None:
+            sd[e.norm + ".running_mean"] = torch.zeros(cout)
+            sd[e.norm + ".running_var"] = torch.ones(cout)
+            sd[e.norm + ".num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+    torch.save(sd, pth_path)

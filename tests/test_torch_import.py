@@ -1,164 +1,234 @@
-"""Torch checkpoint import: output parity between a torch model in the
-reference's architecture and our flax network loaded with the imported
-weights. The torch models here are authored in the test from the public
-CycleGAN architecture description (Johnson et al. / PatchGAN)."""
+"""Torch checkpoint import/export parity against the REAL reference code.
+
+These tests import /root/reference/models/networks3D.py itself (read-only;
+monai is stubbed since only the 'Dynet' branch needs it) and assert output
+parity via weight import for the define_G/define_D zoo, plus export →
+strict torch load round-trips. The reference's instance norm is affine-free
+with track_running_stats=True (reference models/networks3D.py:19), and the
+reference runs inference in train mode (its test.py never calls
+model.eval()), so instance statistics are always used — the torch forwards
+below therefore run in train mode under no_grad, exactly like
+reference test.py:159.
+"""
+import importlib.util
+import sys
+import types
+
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
-import torch.nn as tnn  # noqa: E402
 
-from mra_gan_tpu.checkpoint import load_torch_network  # noqa: E402
-from mra_gan_tpu.models.networks import (  # noqa: E402
-    NLayerDiscriminator3D,
-    ResnetGenerator3D,
-)
+from mra_gan_tpu.checkpoint import load_torch_network, save_torch_network  # noqa: E402
+from mra_gan_tpu.models.networks import define_d, define_g  # noqa: E402
 
-NGF = 4
-BLOCKS = 2
+REF_NETWORKS = "/root/reference/models/networks3D.py"
 
 
-class TorchResBlock(tnn.Module):
-    def __init__(self, dim):
-        super().__init__()
-        self.conv_block = tnn.Sequential(
-            tnn.ReplicationPad3d(1), tnn.Conv3d(dim, dim, 3, bias=True),
-            tnn.InstanceNorm3d(dim, affine=False), tnn.ReLU(True),
-            tnn.ReplicationPad3d(1), tnn.Conv3d(dim, dim, 3, bias=True),
-            tnn.InstanceNorm3d(dim, affine=False))
+@pytest.fixture(scope="module")
+def ref():
+    """The reference's networks3D module, loaded from the read-only tree."""
+    if "monai" not in sys.modules:
+        monai = types.ModuleType("monai")
+        networks = types.ModuleType("monai.networks")
+        nets = types.ModuleType("monai.networks.nets")
 
-    def forward(self, x):
-        return x + self.conv_block(x)
+        def _no_dynunet(*a, **k):
+            raise RuntimeError("monai is not installed in this environment")
 
-
-def make_torch_generator(ngf=NGF, n_blocks=BLOCKS):
-    layers = [tnn.ReplicationPad3d(3), tnn.Conv3d(1, ngf, 7, bias=True),
-              tnn.InstanceNorm3d(ngf, affine=False), tnn.ReLU(True)]
-    for i in range(2):
-        m = 2 ** i
-        layers += [tnn.Conv3d(ngf * m, ngf * m * 2, 3, stride=2, padding=1, bias=True),
-                   tnn.InstanceNorm3d(ngf * m * 2, affine=False), tnn.ReLU(True)]
-    for _ in range(n_blocks):
-        layers.append(TorchResBlock(ngf * 4))
-    for i in range(2):
-        m = 2 ** (2 - i)
-        layers += [tnn.ConvTranspose3d(ngf * m, ngf * m // 2, 3, stride=2,
-                                       padding=1, output_padding=1, bias=True),
-                   tnn.InstanceNorm3d(ngf * m // 2, affine=False), tnn.ReLU(True)]
-    layers += [tnn.ReplicationPad3d(3), tnn.Conv3d(ngf, 1, 7), tnn.Tanh()]
-    return tnn.Sequential(*layers)
+        nets.DynUNet = _no_dynunet
+        networks.nets = nets
+        monai.networks = networks
+        sys.modules["monai"] = monai
+        sys.modules["monai.networks"] = networks
+        sys.modules["monai.networks.nets"] = nets
+    spec = importlib.util.spec_from_file_location("ref_networks3D", REF_NETWORKS)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
-def test_resnet_generator_import_output_parity(tmp_path):
-    torch.manual_seed(0)
-    tg = make_torch_generator()
-    # randomize weights like the reference init
-    for p in tg.parameters():
-        p.data.normal_(0, 0.1)
-    pth = tmp_path / "latest_net_G_A.pth"
-    torch.save(tg.state_dict(), pth)
-
-    net = ResnetGenerator3D(output_nc=1, ngf=NGF, n_blocks=BLOCKS)
-    x = np.random.RandomState(0).randn(1, 16, 16, 16, 1).astype(np.float32)
-    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
-    params = load_torch_network(pth, params, arch="resnet")
-    got = np.asarray(net.apply(params, jnp.asarray(x), train=False))
-
+def _torch_forward(net, x):
+    # train mode (reference inference behavior), no_grad (base_model.py:53)
     with torch.no_grad():
-        want = tg(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)))).numpy()
-    want = np.transpose(want, (0, 2, 3, 4, 1))
-    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+        y = net(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3))))
+    return np.transpose(y.numpy(), (0, 2, 3, 4, 1))
 
 
-def test_resnet_import_with_dataparallel_prefix(tmp_path):
-    tg = make_torch_generator()
+def _randomize(net, seed):
+    g = torch.Generator().manual_seed(seed)
+    for p in net.parameters():
+        p.data = torch.randn(p.shape, generator=g) * 0.1
+
+
+def _assert_parity(ref_net, our_net, arch, x, rtol=1e-3, atol=1e-4):
+    params = our_net.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        pth = os.path.join(d, "net.pth")
+        torch.save(ref_net.state_dict(), pth)
+        params = load_torch_network(pth, params, arch=arch)
+    got = np.asarray(our_net.apply(params, jnp.asarray(x), train=False))
+    want = _torch_forward(ref_net, x)
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# generator zoo: output parity via weight import
+
+
+@pytest.mark.parametrize("net_g,ngf,size", [
+    ("resnet_6blocks", 4, 16),
+    ("resnet_9blocks", 2, 16),
+    ("unet_custom", 2, 32),
+])
+def test_generator_import_output_parity(ref, net_g, ngf, size):
+    tg = ref.define_G(1, 1, ngf, net_g, norm="instance")
+    _randomize(tg, seed=hash(net_g) % 2**31)
+    ours = define_g(output_nc=1, ngf=ngf, net_g=net_g)
+    x = np.random.RandomState(0).randn(1, size, size, size, 1).astype(np.float32)
+    _assert_parity(tg, ours, net_g, x)
+
+
+@pytest.mark.parametrize("net_d,n_layers,ndf,size", [
+    ("basic", 3, 4, 32),  # 16^3 would reach 1^3 spatial, where torch IN errors
+    ("n_layers", 2, 4, 16),
+    ("n_layers", 1, 4, 16),
+    ("pixel", 3, 4, 16),
+])
+def test_discriminator_import_output_parity(ref, net_d, n_layers, ndf, size):
+    td = ref.define_D(1, ndf, net_d, n_layers_D=n_layers, norm="instance")
+    _randomize(td, seed=n_layers)
+    ours = define_d(ndf=ndf, net_d=net_d, n_layers_d=n_layers)
+    x = np.random.RandomState(1).randn(1, size, size, size, 1).astype(np.float32)
+    _assert_parity(td, ours, net_d, x)
+
+
+@pytest.mark.parametrize("num_downs,arch_name", [(7, "unet_128"), (8, "unet_256")])
+def test_deep_unet_structural_parity(ref, num_downs, arch_name, tmp_path):
+    """7/8-down U-Nets: full forwards at 128^3/256^3 are too slow for CI, so
+    assert structural parity instead — every conv key maps with matching
+    shapes (import), and our export strict-loads into the reference net
+    (covers the ngf*8 middle blocks that only exist at num_downs >= 6)."""
+    tg = ref.UnetGenerator(1, 1, num_downs, 2, norm_layer=ref.get_norm_layer("instance"))
+    pth = tmp_path / "deep.pth"
+    torch.save(tg.state_dict(), pth)
+    ours = define_g(output_nc=1, ngf=2, net_g=arch_name)
+    size = 2 ** num_downs
+    params = jax.eval_shape(
+        lambda: ours.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, size, 1)),
+                          train=False))
+    params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), params)
+    params = load_torch_network(pth, params, arch=arch_name)  # shape-checked
+
+    out = tmp_path / "export.pth"
+    save_torch_network(params, out, arch=arch_name)
+    sd = torch.load(out, weights_only=True)
+    tg.load_state_dict(sd, strict=True)
+
+
+def test_dataparallel_prefix_strip(ref, tmp_path):
+    tg = ref.define_G(1, 1, 4, "resnet_6blocks", norm="instance")
     sd = {("module." + k): v for k, v in tg.state_dict().items()}
     pth = tmp_path / "dp.pth"
     torch.save(sd, pth)
-    net = ResnetGenerator3D(output_nc=1, ngf=NGF, n_blocks=BLOCKS)
+    net = define_g(output_nc=1, ngf=4, net_g="resnet_6blocks")
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)), train=False)
     out = load_torch_network(pth, params, arch="resnet")
-    assert out["params"]["Conv3D_0"]["kernel"].shape == (7, 7, 7, 1, NGF)
+    assert out["params"]["Conv3D_0"]["kernel"].shape == (7, 7, 7, 1, 4)
 
 
-def make_torch_discriminator(ndf=4, n_layers=2):
-    layers = [tnn.Conv3d(1, ndf, 4, stride=2, padding=1), tnn.LeakyReLU(0.2, True)]
-    nf = 1
-    for n in range(1, n_layers):
-        prev, nf = nf, min(2 ** n, 8)
-        layers += [tnn.Conv3d(ndf * prev, ndf * nf, 4, stride=2, padding=1, bias=True),
-                   tnn.InstanceNorm3d(ndf * nf, affine=False), tnn.LeakyReLU(0.2, True)]
-    prev, nf = nf, min(2 ** n_layers, 8)
-    layers += [tnn.Conv3d(ndf * prev, ndf * nf, 4, stride=1, padding=1, bias=True),
-               tnn.InstanceNorm3d(ndf * nf, affine=False), tnn.LeakyReLU(0.2, True),
-               tnn.Conv3d(ndf * nf, 1, 4, stride=1, padding=1)]
-    return tnn.Sequential(*layers)
-
-
-def test_discriminator_import_output_parity(tmp_path):
-    torch.manual_seed(1)
-    td = make_torch_discriminator()
-    for p in td.parameters():
-        p.data.normal_(0, 0.1)
-    pth = tmp_path / "latest_net_D_A.pth"
-    torch.save(td.state_dict(), pth)
-
-    net = NLayerDiscriminator3D(ndf=4, n_layers=2)
-    x = np.random.RandomState(1).randn(1, 16, 16, 16, 1).astype(np.float32)
-    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
-    params = load_torch_network(pth, params, arch="nlayer_d")
-    got = np.asarray(net.apply(params, jnp.asarray(x), train=False))
-    with torch.no_grad():
-        want = td(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)))).numpy()
-    want = np.transpose(want, (0, 2, 3, 4, 1))
-    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
-
-
-def test_import_count_mismatch_raises(tmp_path):
-    tg = make_torch_generator(n_blocks=1)
+def test_import_count_mismatch_raises(ref, tmp_path):
+    tg = ref.define_G(1, 1, 4, "resnet_6blocks", norm="instance")
     pth = tmp_path / "bad.pth"
     torch.save(tg.state_dict(), pth)
-    net = ResnetGenerator3D(output_nc=1, ngf=NGF, n_blocks=3)
+    net = define_g(output_nc=1, ngf=4, net_g="resnet_9blocks")
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)), train=False)
     with pytest.raises(ValueError, match="conv count mismatch"):
         load_torch_network(pth, params, arch="resnet")
 
 
-def test_export_import_roundtrip(tmp_path):
-    from mra_gan_tpu.checkpoint import save_torch_network
+def test_dynet_mapping_documented_error(tmp_path):
+    from mra_gan_tpu.models.networks import DynUNet3D
+    net = DynUNet3D(output_nc=1)
+    params = jax.eval_shape(
+        lambda: net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 16, 1)),
+                         train=False))
+    with pytest.raises(NotImplementedError, match="capability-equivalent"):
+        save_torch_network(params, tmp_path / "x.pth", arch="Dynet")
 
-    net = ResnetGenerator3D(output_nc=1, ngf=NGF, n_blocks=BLOCKS)
-    x = np.random.RandomState(2).randn(1, 16, 16, 16, 1).astype(np.float32)
-    params = net.init(jax.random.PRNGKey(5), jnp.asarray(x), train=False)
+
+# ---------------------------------------------------------------------------
+# export: strict load into the real reference nets + output parity
+
+
+@pytest.mark.parametrize("net_g,arch,ngf,size", [
+    ("resnet_6blocks", "resnet", 4, 16),
+    ("unet_custom", "unet", 2, 32),
+])
+def test_export_strict_loads_into_reference_g(ref, net_g, arch, ngf, size, tmp_path):
+    ours = define_g(output_nc=1, ngf=ngf, net_g=net_g)
+    x = np.random.RandomState(3).randn(1, size, size, size, 1).astype(np.float32)
+    params = ours.init(jax.random.PRNGKey(7), jnp.asarray(x), train=False)
     pth = tmp_path / "export.pth"
-    save_torch_network(params, pth, arch="resnet")
+    save_torch_network(params, pth, arch=arch)
+
+    tg = ref.define_G(1, 1, ngf, net_g, norm="instance")
+    sd = torch.load(pth, weights_only=True)
+    tg.load_state_dict(sd, strict=True)  # reference base_model.py:148 is strict
+    want = _torch_forward(tg, x)
+    got = np.asarray(ours.apply(params, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("net_d,n_layers", [("n_layers", 2), ("pixel", 2)])
+def test_export_strict_loads_into_reference_d(ref, net_d, n_layers, tmp_path):
+    ours = define_d(ndf=4, net_d=net_d, n_layers_d=n_layers)
+    x = np.random.RandomState(4).randn(1, 16, 16, 16, 1).astype(np.float32)
+    params = ours.init(jax.random.PRNGKey(8), jnp.asarray(x), train=False)
+    pth = tmp_path / "export.pth"
+    save_torch_network(params, pth, arch=net_d)
+
+    td = ref.define_D(1, 4, net_d, n_layers_D=n_layers, norm="instance")
+    td.load_state_dict(torch.load(pth, weights_only=True), strict=True)
+    want = _torch_forward(td, x)
+    got = np.asarray(ours.apply(params, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_export_dropout_index_shift(ref, tmp_path):
+    """With use_dropout the reference inserts Dropout at conv_block.4,
+    shifting the second conv to .6 (reference models/networks3D.py:244-256);
+    export must follow or keys mismatch under strict load."""
+    ours = define_g(output_nc=1, ngf=4, net_g="resnet_6blocks", use_dropout=True)
+    params = ours.init(jax.random.PRNGKey(9), jnp.zeros((1, 16, 16, 16, 1)),
+                       train=False)
+    pth = tmp_path / "drop.pth"
+    save_torch_network(params, pth, arch="resnet", use_dropout=True)
+    tg = ref.define_G(1, 1, 4, "resnet_6blocks", norm="instance", use_dropout=True)
+    tg.load_state_dict(torch.load(pth, weights_only=True), strict=True)
+
+    # and the reverse: a dropout checkpoint is autodetected on import
     back = load_torch_network(pth, params, arch="resnet")
-    for (pa, la), (pb, lb) in zip(
+    for (pa, la), (_, lb) in zip(
             jax.tree_util.tree_flatten_with_path(params)[0],
             jax.tree_util.tree_flatten_with_path(back)[0]):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6,
                                    err_msg=str(pa))
 
 
-def test_export_loads_into_torch_model(tmp_path):
-    from mra_gan_tpu.checkpoint import save_torch_network
-
-    net = ResnetGenerator3D(output_nc=1, ngf=NGF, n_blocks=BLOCKS)
-    x = np.random.RandomState(3).randn(1, 16, 16, 16, 1).astype(np.float32)
-    params = net.init(jax.random.PRNGKey(7), jnp.asarray(x), train=False)
+def test_export_import_roundtrip(tmp_path):
+    net = define_g(output_nc=1, ngf=4, net_g="resnet_6blocks")
+    params = net.init(jax.random.PRNGKey(5), jnp.zeros((1, 16, 16, 16, 1)),
+                      train=False)
     pth = tmp_path / "export.pth"
     save_torch_network(params, pth, arch="resnet")
-
-    tg = make_torch_generator()
-    sd = torch.load(pth, weights_only=True)
-    # the reference nets wrap their Sequential as self.model ("model." prefix,
-    # reference models/networks3D.py:215); our test Sequential is bare
-    sd = {k[len("model."):]: v for k, v in sd.items()}
-    tg.load_state_dict(sd, strict=True)
-    with torch.no_grad():
-        want = tg(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)))).numpy()
-    want = np.transpose(want, (0, 2, 3, 4, 1))
-    got = np.asarray(net.apply(params, jnp.asarray(x), train=False))
-    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+    back = load_torch_network(pth, params, arch="resnet")
+    for (pa, la), (_, lb) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0]):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6,
+                                   err_msg=str(pa))
