@@ -161,9 +161,15 @@ def _scan_inference(volume, generate_fn, patch, strides, blend, batch):
     )
     n = len(grid)
     n_pad = (-n) % batch
+    # Batch-padding duplicates the last start; a per-entry validity flag
+    # zeroes the duplicates' window so overlapped voxels aren't skewed
+    # toward the repeated patch.
+    valid = np.ones(n + n_pad, np.float32)
     if n_pad:
         grid = np.concatenate([grid, np.repeat(grid[-1:], n_pad, axis=0)])
+        valid[n:] = 0.0
     grid = grid.reshape(-1, batch, 3)
+    valid = valid.reshape(-1, batch)
 
     if blend == "gaussian":
         win = gaussian_window(patch)
@@ -171,31 +177,35 @@ def _scan_inference(volume, generate_fn, patch, strides, blend, batch):
         win = np.ones(patch, np.float32)
 
     @partial(jax.jit, static_argnames=())
-    def decode(vol, grid, win):
+    def decode(vol, grid, valid, win):
         acc0 = jnp.zeros_like(vol)
         wsum0 = jnp.zeros_like(vol)
 
-        def body(carry, starts_b):
+        def body(carry, inp):
+            starts_b, valid_b = inp
             acc, wsum = carry
             patches = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(vol, (s[0], s[1], s[2]), patch)
             )(starts_b)
-            out = generate_fn(patches[..., None])[..., 0].astype(jnp.float32) * win
+            out = generate_fn(patches[..., None])[..., 0].astype(jnp.float32)
+            out = out * win * valid_b[:, None, None, None]
 
             def scatter(carry, i):
                 acc, wsum = carry
                 s = starts_b[i]
+                w = win * valid_b[i]
                 cur = jax.lax.dynamic_slice(acc, (s[0], s[1], s[2]), patch)
                 acc = jax.lax.dynamic_update_slice(acc, cur + out[i], (s[0], s[1], s[2]))
                 curw = jax.lax.dynamic_slice(wsum, (s[0], s[1], s[2]), patch)
-                wsum = jax.lax.dynamic_update_slice(wsum, curw + win, (s[0], s[1], s[2]))
+                wsum = jax.lax.dynamic_update_slice(wsum, curw + w, (s[0], s[1], s[2]))
                 return (acc, wsum), None
 
             (acc, wsum), _ = jax.lax.scan(scatter, (acc, wsum), jnp.arange(batch))
             return (acc, wsum), None
 
-        (acc, wsum), _ = jax.lax.scan(body, (acc0, wsum0), grid)
+        (acc, wsum), _ = jax.lax.scan(body, (acc0, wsum0), (grid, valid))
         return acc / jnp.maximum(wsum, 1e-8)
 
-    out = np.asarray(decode(jnp.asarray(vol), jnp.asarray(grid), jnp.asarray(win)))
+    out = np.asarray(decode(jnp.asarray(vol), jnp.asarray(grid),
+                            jnp.asarray(valid), jnp.asarray(win)))
     return out[: vshape[0], : vshape[1], : vshape[2]]

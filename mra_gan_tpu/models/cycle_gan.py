@@ -64,6 +64,26 @@ class CycleGANConfig:
     dynet_sizes: Any = (128, 128, 64)
     dynet_spacings: Any = (1.5, 1.5, 1.5)
 
+    @staticmethod
+    def modify_commandline_options(parser, is_train: bool):
+        """CycleGAN-injected CLI flags and default overrides, called by the
+        options layer's two-phase parse (the reference's dynamic flag
+        registration, reference models/cycle_gan_model.py:42-62 via
+        options/base_options.py:68-72)."""
+        parser.set_defaults(no_dropout=True)
+        if is_train:
+            parser.add_argument("--lambda_A", type=float, default=10.0,
+                                help="weight for cycle loss (A -> B -> A)")
+            parser.add_argument("--lambda_B", type=float, default=10.0,
+                                help="weight for cycle loss (B -> A -> B)")
+            parser.add_argument("--lambda_identity", type=float, default=0.5,
+                                help="identity mapping loss weight factor")
+            parser.add_argument("--lambda_co_A", type=float, default=2.0,
+                                help="weight for correlation coefficient loss (A -> B)")
+            parser.add_argument("--lambda_co_B", type=float, default=2.0,
+                                help="weight for correlation coefficient loss (B -> A)")
+        return parser
+
     def build_nets(self):
         g_a = define_g(self.output_nc, self.ngf, self.net_g, self.norm,
                        not self.no_dropout, self.init_type, self.init_gain,
@@ -183,33 +203,37 @@ def make_train_step(cfg: CycleGANConfig):
     # couples samples through batch statistics, so it keeps separate applies.
     fuse = cfg.norm in ("instance", "none")
 
-    def g_loss_fn(g_params, d_params, real_a, real_b, rngs):
+    def g_loss_fn(g_params, d_params, real_a, real_b, rngs_per_apply):
+        # rngs_per_apply: one independent dropout-rng dict per generator
+        # apply, matching the reference's independent masks per torch forward
+        # (dropout only; empty dicts when no_dropout).
+        r0, r1, r2, r3, r4, r5 = rngs_per_apply
         bsz = real_a.shape[0]
         if fuse and lam_idt > 0:
             out_a1 = g_a.apply(g_params["g_a"], jnp.concatenate([real_a, real_b]),
-                               train=True, rngs=rngs)
+                               train=True, rngs=r0)
             fake_b, idt_a = out_a1[:bsz], out_a1[bsz:]
             out_b1 = g_b.apply(g_params["g_b"],
                                jnp.concatenate([fake_b, real_b, real_a]),
-                               train=True, rngs=rngs)
+                               train=True, rngs=r1)
             rec_a, fake_a, idt_b = out_b1[:bsz], out_b1[bsz:2 * bsz], out_b1[2 * bsz:]
-            rec_b = g_a.apply(g_params["g_a"], fake_a, train=True, rngs=rngs)
+            rec_b = g_a.apply(g_params["g_a"], fake_a, train=True, rngs=r2)
         elif fuse:
-            fake_b = g_a.apply(g_params["g_a"], real_a, train=True, rngs=rngs)
+            fake_b = g_a.apply(g_params["g_a"], real_a, train=True, rngs=r0)
             out_b1 = g_b.apply(g_params["g_b"],
                                jnp.concatenate([fake_b, real_b]),
-                               train=True, rngs=rngs)
+                               train=True, rngs=r1)
             rec_a, fake_a = out_b1[:bsz], out_b1[bsz:]
-            rec_b = g_a.apply(g_params["g_a"], fake_a, train=True, rngs=rngs)
+            rec_b = g_a.apply(g_params["g_a"], fake_a, train=True, rngs=r2)
             idt_a = idt_b = None
         else:
-            fake_b = g_a.apply(g_params["g_a"], real_a, train=True, rngs=rngs)
-            rec_a = g_b.apply(g_params["g_b"], fake_b, train=True, rngs=rngs)
-            fake_a = g_b.apply(g_params["g_b"], real_b, train=True, rngs=rngs)
-            rec_b = g_a.apply(g_params["g_a"], fake_a, train=True, rngs=rngs)
-            idt_a = (g_a.apply(g_params["g_a"], real_b, train=True, rngs=rngs)
+            fake_b = g_a.apply(g_params["g_a"], real_a, train=True, rngs=r0)
+            rec_a = g_b.apply(g_params["g_b"], fake_b, train=True, rngs=r1)
+            fake_a = g_b.apply(g_params["g_b"], real_b, train=True, rngs=r2)
+            rec_b = g_a.apply(g_params["g_a"], fake_a, train=True, rngs=r3)
+            idt_a = (g_a.apply(g_params["g_a"], real_b, train=True, rngs=r4)
                      if lam_idt > 0 else None)
-            idt_b = (g_b.apply(g_params["g_b"], real_a, train=True, rngs=rngs)
+            idt_b = (g_b.apply(g_params["g_b"], real_a, train=True, rngs=r5)
                      if lam_idt > 0 else None)
 
         loss_g_a = gan_loss(d_a.apply(d_params["d_a"], fake_b, train=True), True, cfg.gan_mode)
@@ -277,11 +301,15 @@ def make_train_step(cfg: CycleGANConfig):
         real_a = real_a.astype(cfg.dtype)
         real_b = real_b.astype(cfg.dtype)
         k_drop, k_pool_a, k_pool_b = jax.random.split(rng, 3)
-        rngs = {"dropout": k_drop} if not cfg.no_dropout else {}
+        if cfg.no_dropout:
+            rngs_per_apply = ({},) * 6
+        else:
+            rngs_per_apply = tuple({"dropout": k}
+                                   for k in jax.random.split(k_drop, 6))
 
         # --- G update (Ds frozen: d_params not differentiated) ---
         (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params, state.d_params, real_a, real_b, rngs)
+            state.g_params, state.d_params, real_a, real_b, rngs_per_apply)
         g_params, opt_g = apply_updates(state.g_params, g_grads, state.opt_g, lr)
 
         # --- pool queries on the pre-update fakes ---

@@ -91,31 +91,16 @@ class BaseOptions:
             formatter_class=argparse.ArgumentDefaultsHelpFormatter)
         parser = self.initialize(parser)
         opt, _ = parser.parse_known_args(argv)
-        # two-phase parse with model flag injection
-        # (reference options/base_options.py:59-76)
-        from ..models import get_model
+        # two-phase parse: let the selected model inject its own flags and
+        # override defaults (reference options/base_options.py:59-76 ->
+        # models/__init__.py:28-30 -> modify_commandline_options)
+        from ..models import get_option_setter
 
-        model_cls = get_model(opt.model) if opt.model != "test" else None
-        if opt.model == "cycle_gan":
-            self.modify_for_cycle_gan(parser)
+        setter = get_option_setter(opt.model)
+        if setter is not None:
+            parser = setter(parser, self.is_train) or parser
         self.parser = parser
         return parser.parse_args(argv)
-
-    def modify_for_cycle_gan(self, parser):
-        """CycleGAN-injected flags (reference
-        models/cycle_gan_model.py:42-62)."""
-        parser.set_defaults(no_dropout=True)
-        if self.is_train:
-            parser.add_argument("--lambda_A", type=float, default=10.0,
-                                help="weight for cycle loss (A -> B -> A)")
-            parser.add_argument("--lambda_B", type=float, default=10.0,
-                                help="weight for cycle loss (B -> A -> B)")
-            parser.add_argument("--lambda_identity", type=float, default=0.5,
-                                help="identity mapping loss weight factor")
-            parser.add_argument("--lambda_co_A", type=float, default=2.0,
-                                help="weight for correlation coefficient loss (A -> B)")
-            parser.add_argument("--lambda_co_B", type=float, default=2.0,
-                                help="weight for correlation coefficient loss (B -> A)")
 
     def print_options(self, opt):
         lines = ["----------------- Options ---------------"]

@@ -21,8 +21,9 @@ class TestOptions(BaseOptions):
                             help="sliding-window stride in the XY plane")
         parser.add_argument("--stride_layer", type=int, default=32,
                             help="sliding-window stride along Z")
-        parser.add_argument("--model_suffix", type=str, default="_A",
-                            help="which generator to run: _A (A->B) or _B (B->A)")
+        # --model_suffix is injected by the 'test' model's
+        # modify_commandline_options hook (models/test.py), like the
+        # reference's dynamic flag registration.
         parser.add_argument("--blend", type=str, default="gaussian",
                             choices=["gaussian", "uniform"],
                             help="patch overlap blending window")

@@ -29,8 +29,15 @@ class TrainOptions(BaseOptions):
         parser.add_argument("--beta1", type=float, default=0.5, help="momentum term of adam")
         parser.add_argument("--lr", type=float, default=0.0002,
                             help="initial learning rate for adam")
-        parser.add_argument("--no_lsgan", action="store_true",
-                            help="use vanilla GAN loss instead of least-squares GAN")
+        # Reference-faithful inverted flag (reference options/train_options.py
+        # :19 is store_false): DEFAULT no_lsgan=True trains vanilla GAN with a
+        # sigmoid discriminator (reference models/cycle_gan_model.py:93,103);
+        # PASSING --no_lsgan flips no_lsgan to False = least-squares GAN.
+        parser.add_argument("--no_lsgan", action="store_false",
+                            help="switch to least-squares GAN (the default, like "
+                                 "the reference's, is vanilla GAN + sigmoid D; "
+                                 "the flag name is inverted in the reference "
+                                 "and kept for CLI compatibility)")
         parser.add_argument("--pool_size", type=int, default=50,
                             help="size of the generated-image replay buffer")
         parser.add_argument("--lr_policy", type=str, default="lambda",

@@ -58,48 +58,58 @@ def sharded_sliding_window(
     n = len(grid)
     per_dev_chunk = batch * n_dev
     n_pad = (-n) % per_dev_chunk
+    # Batch/device padding duplicates the last start; a per-entry validity
+    # flag zeroes the duplicates' window contribution (a duplicated patch
+    # would otherwise skew overlapped voxels toward it — acc and wsum grow by
+    # the same duplicate, but other patches' contributions don't).
+    valid = np.ones(n + n_pad, np.float32)
     if n_pad:
         grid = np.concatenate([grid, np.repeat(grid[-1:], n_pad, axis=0)])
-    # round-robin so each device gets an even spread; duplicated tail patches
-    # cancel in the weighted average (acc and wsum get identical duplicates)
+        valid[n:] = 0.0
+    # round-robin so each device gets an even spread
     grid = grid.reshape(-1, n_dev, batch, 3).transpose(1, 0, 2, 3)  # (dev, steps, B, 3)
+    valid = valid.reshape(-1, n_dev, batch).transpose(1, 0, 2)  # (dev, steps, B)
 
     win = gaussian_window(patch) if blend == "gaussian" else np.ones(patch, np.float32)
 
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P(DATA_AXIS), P()),
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
              out_specs=P(), check_vma=False)
-    def decode(vol, grid_dev, win):
+    def decode(vol, grid_dev, valid_dev, win):
         grid_local = grid_dev[0]  # (steps, B, 3)
+        valid_local = valid_dev[0]  # (steps, B)
         acc0 = jnp.zeros_like(vol)
         wsum0 = jnp.zeros_like(vol)
 
-        def body(carry, starts_b):
+        def body(carry, inp):
+            starts_b, valid_b = inp
             acc, wsum = carry
             patches = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(vol, (s[0], s[1], s[2]), patch)
             )(starts_b)
-            out = generate_fn(patches[..., None])[..., 0].astype(jnp.float32) * win
+            out = generate_fn(patches[..., None])[..., 0].astype(jnp.float32)
+            out = out * win * valid_b[:, None, None, None]
 
             def scatter(carry, i):
                 acc, wsum = carry
                 s = starts_b[i]
+                w = win * valid_b[i]
                 cur = jax.lax.dynamic_slice(acc, (s[0], s[1], s[2]), patch)
                 acc = jax.lax.dynamic_update_slice(acc, cur + out[i], (s[0], s[1], s[2]))
                 curw = jax.lax.dynamic_slice(wsum, (s[0], s[1], s[2]), patch)
-                wsum = jax.lax.dynamic_update_slice(wsum, curw + win, (s[0], s[1], s[2]))
+                wsum = jax.lax.dynamic_update_slice(wsum, curw + w, (s[0], s[1], s[2]))
                 return (acc, wsum), None
 
             (acc, wsum), _ = jax.lax.scan(scatter, (acc, wsum),
                                           jnp.arange(starts_b.shape[0]))
             return (acc, wsum), None
 
-        (acc, wsum), _ = jax.lax.scan(body, (acc0, wsum0), grid_local)
+        (acc, wsum), _ = jax.lax.scan(body, (acc0, wsum0), (grid_local, valid_local))
         acc = jax.lax.psum(acc, DATA_AXIS)
         wsum = jax.lax.psum(wsum, DATA_AXIS)
         return acc / jnp.maximum(wsum, 1e-8)
 
     out = np.asarray(jax.jit(decode)(jnp.asarray(vol), jnp.asarray(grid),
-                                     jnp.asarray(win)))
+                                     jnp.asarray(valid), jnp.asarray(win)))
     return out[: vshape[0], : vshape[1], : vshape[2]]
 
 

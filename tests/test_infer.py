@@ -59,6 +59,38 @@ def test_overlap_add_matches_scan_path():
     np.testing.assert_allclose(fast, slow, atol=2e-4)
 
 
+def test_scan_path_batch_padding_unbiased():
+    """Batch padding duplicates the last grid start; the duplicate's window
+    must be masked or overlapped voxels skew toward the repeated patch."""
+    import jax.numpy as jnp
+
+    from mra_gan_tpu.infer.sliding_window import _scan_inference, compute_grid_starts
+
+    vol = (np.arange(16 ** 3, dtype=np.float32).reshape(16, 16, 16)
+           / 16 ** 3)
+    patch, strides = (8, 8, 8), (3, 5, 5)
+
+    # patch-mean generator: per-patch-constant output makes duplicate bias visible
+    def gen(x):
+        return jnp.zeros_like(x) + jnp.mean(x, axis=(1, 2, 3, 4), keepdims=True)
+
+    # numpy oracle without any batch padding
+    starts = [compute_grid_starts(16, patch[i], strides[i]) for i in range(3)]
+    grid = [(a, b, c) for a in starts[0] for b in starts[1] for c in starts[2]]
+    acc = np.zeros_like(vol)
+    wsum = np.zeros_like(vol)
+    for (a, b, c) in grid:
+        p = vol[a:a + 8, b:b + 8, c:c + 8]
+        acc[a:a + 8, b:b + 8, c:c + 8] += p.mean()
+        wsum[a:a + 8, b:b + 8, c:c + 8] += 1.0
+    want = acc / np.maximum(wsum, 1e-8)
+
+    # batch=7 with len(grid)=36 forces 6 padded duplicates
+    assert len(grid) % 7 != 0
+    got = _scan_inference(vol, gen, patch, strides, "uniform", batch=7)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_non_divisible_stride_falls_back():
     vol = np.random.RandomState(3).rand(16, 16, 16).astype(np.float32)
     out = sliding_window_inference(vol, lambda x: x, patch_size=(8, 8, 8),

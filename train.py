@@ -75,6 +75,12 @@ def main(argv=None):
     state = create_state(cfg, init_rng, patch)
     print_networks(state, verbose=opt.verbose)
 
+    if opt.data_parallel and len(jax.devices()) > 1 \
+            and opt.batch_size % len(jax.devices()) != 0:
+        raise SystemExit(
+            f"--data_parallel requires batch_size ({opt.batch_size}) divisible "
+            f"by the device count ({len(jax.devices())}); pick e.g. "
+            f"--batch_size {-(-opt.batch_size // len(jax.devices())) * len(jax.devices())}")
     if opt.data_parallel and len(jax.devices()) > 1:
         from mra_gan_tpu.core.mesh import make_mesh
         from mra_gan_tpu.parallel.sharding import make_sharded_train_step, shard_state
