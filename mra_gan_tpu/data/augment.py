@@ -4,19 +4,49 @@ The reference's ``Augmentation`` transform draws one of 8 active choices per
 sample (reference utils/NiftiDataset.py:1113-1300, choice list :1124):
 0 none, 1 additive Gaussian noise, 2 recursive Gaussian blur, 3 random
 rotation about x/y/z, 4 B-spline deformation, 5 flip, 6 brightness, 7
-contrast. (Choices 8-12 are unreachable in the reference — reproduced by
-simply not selecting them.)
+contrast. (Choices 8-12 — translate, single-axis rotations, gamma — are
+unreachable in the reference and reproduced by simply not selecting them;
+the ops are still exported.)
 
-All ops run on device over (D,H,W[,C]) float volumes inside jit; the policy
-is expressed with ``lax.switch`` so a batch of patches augments in one XLA
-program. Recorded reference bugs intentionally FIXED here (SURVEY §2.2):
-- flipit returned the un-flipped image (flip was a silent no-op); ours flips.
-- imadjust's gamma was drawn once at import time; ours draws per call.
+Distribution parity with the reference, which augments 0-255-scaled volumes
+(its module-level ``Segmentation = False`` at utils/NiftiDataset.py:21 makes
+the intensity augs hit BOTH image and label):
+
+- noise:      mean ~ U(0,1), std ~ U(0,2) in 0-255 units
+              (reference :1135-1139), both members (:1141-1143).
+- blur:       sigma ~ U(0,1.5) (reference :1150), both members (:1156-1159).
+- rotation:   theta_x, theta_y ~ randint[-40,40), theta_z ~ randint[-180,180)
+              (reference :1165-1167), same transform for both members.
+- B-spline:   order-3 spline, 10^3 control mesh, control displacements
+              ~ U(0,1)*10 (reference :1178-1202), both members. Recorded
+              deviations: we warp the sampled patch (the reference warps the
+              whole volume before cropping) and upsample the control grid
+              trilinearly instead of with a cubic spline.
+- flip:       axis ~ choice{0,1} (reference :1210). The reference's flipit
+              RETURNS THE UN-FLIPPED IMAGE (recorded bug, :278-294); ours
+              performs the intended flip.
+- brightness: additive c ~ randint[-20,20) in 0-255 units, clipped to the
+              value range (reference :297-318 — an additive shift, not a
+              gamma), both members (:1225-1227).
+- contrast:   c ~ randint[-20,20); deviations from the mean scaled by
+              1 +/- |c|/100, clipped (reference :321-351), both members.
+              (The reference int-truncates the mean on the 0-255 scale; we
+              keep it float — recorded.)
+
+Since our training data is in [-1,1] (legacy) or z-scored (monai), all
+0-255-unit magnitudes are scaled by (hi-lo)/255 of the actual value range:
+the static ``value_range`` when known (train.py passes (-1,1) for the legacy
+convention), else each member's own min/max.
+
+All ops run on device over (D,H,W) float volumes inside jit; the policy is a
+``lax.switch`` so a whole batch of patches augments in one XLA program (the
+TPU-native replacement for per-sample host SimpleITK filtering).
 """
 from __future__ import annotations
 
 import math
 from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -25,23 +55,25 @@ import jax.numpy as jnp
 # individual augmentations (x: (D,H,W) float32)
 
 
-def add_gaussian_noise(x, key, mean: float = 0.0, std: float = None):
-    """Additive Gaussian noise; reference uses sitk AdditiveGaussianNoise with
-    std relative to the intensity range (utils/NiftiDataset.py:1131-1139)."""
+def add_gaussian_noise(x, key, mean=0.0, std=None):
+    """Additive Gaussian noise (reference sitk AdditiveGaussianNoise,
+    utils/NiftiDataset.py:1135-1143)."""
     if std is None:
         std = 0.03 * (jnp.max(x) - jnp.min(x))
     return x + mean + std * jax.random.normal(key, x.shape, x.dtype)
 
 
-def _gauss_kernel1d(sigma: float, radius: int):
+def _gauss_kernel1d(sigma, radius: int):
     t = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    sigma = jnp.maximum(jnp.asarray(sigma, jnp.float32), 1e-3)
     k = jnp.exp(-0.5 * (t / sigma) ** 2)
     return k / jnp.sum(k)
 
 
-def gaussian_blur(x, sigma: float = 1.0, radius: int = 4):
+def gaussian_blur(x, sigma=1.0, radius: int = 5):
     """Separable Gaussian smoothing with edge boundary handling (reference
-    SmoothingRecursiveGaussian, utils/NiftiDataset.py:1142-1149)."""
+    RecursiveGaussian order 0, utils/NiftiDataset.py:1148-1159). ``sigma``
+    may be a traced scalar (the policy draws it per sample)."""
     k = _gauss_kernel1d(sigma, radius).astype(x.dtype)
     y = x
     for axis in range(3):
@@ -75,22 +107,24 @@ def _rotate_coords(shape, angles):
 
 
 def rotate3d(x, angles, order: int = 1):
-    """Rotation about the center (the reference rotates each axis by a random
-    angle in [-3°, 3°], utils/NiftiDataset.py:1152-1165 + rotation3d
-    helpers :234-275)."""
+    """Rotation about the center by Euler angles in radians (the reference's
+    rotation3d helpers, utils/NiftiDataset.py:234-275; the policy draws the
+    reference's +/-40 deg x/y and +/-180 deg z magnitudes, :1165-1167)."""
     coords = _rotate_coords(x.shape, angles)
     out = jax.scipy.ndimage.map_coordinates(x, list(coords), order=order, mode="nearest")
     return out.reshape(x.shape)
 
 
-def bspline_deform(x, key, grid_points: int = 4, max_disp: float = 3.0,
+def bspline_deform(x, key, grid_points: int = 10, max_disp: float = 10.0,
                    order: int = 1):
-    """Smooth random displacement field — coarse control grid upsampled
-    trilinearly (the BSplineTransform equivalent,
-    reference utils/NiftiDataset.py:1168-1176, :1391-1433)."""
+    """Smooth random displacement field — ``grid_points``^3 control mesh with
+    displacements ~ U(0, max_disp), upsampled to the volume (the reference's
+    BSplineTransform with mesh 10^3 and U(0,1)*10 control displacements,
+    utils/NiftiDataset.py:1178-1202). Note the reference draws all-positive
+    displacements, so the field includes a net shift — reproduced."""
     d, h, w = x.shape
     disp = jax.random.uniform(key, (3, grid_points, grid_points, grid_points),
-                              minval=-max_disp, maxval=max_disp)
+                              minval=0.0, maxval=max_disp)
     full = jax.image.resize(disp, (3, d, h, w), method="linear")
     ii, jj, kk = jnp.meshgrid(jnp.arange(d), jnp.arange(h), jnp.arange(w), indexing="ij")
     coords = [ii + full[0], jj + full[1], kk + full[2]]
@@ -98,42 +132,48 @@ def bspline_deform(x, key, grid_points: int = 4, max_disp: float = 3.0,
     return out.reshape(x.shape)
 
 
-def flip3d(x, key):
-    """Random single-axis flip. The reference's flipit is a recorded no-op
-    bug (utils/NiftiDataset.py:278-294); this is the intended behavior."""
-    axis = jax.random.randint(key, (), 0, 3)
-    flips = [jnp.flip(x, 0), jnp.flip(x, 1), jnp.flip(x, 2)]
-    return jax.lax.switch(axis, [lambda i=i: flips[i] for i in range(3)])
+def flip3d(x, key, n_axes: int = 2):
+    """Random flip over one of the first ``n_axes`` axes (the reference draws
+    axes ~ choice{0,1}, utils/NiftiDataset.py:1210). The reference's flipit
+    is a recorded no-op bug (:278-294); this performs the intended flip."""
+    axis = jax.random.randint(key, (), 0, n_axes)
+    flips = [jnp.flip(x, a) for a in range(n_axes)]
+    return jax.lax.switch(axis, [lambda a=a: flips[a] for a in range(n_axes)])
 
 
-def brightness(x, key=None, gamma: float = None):
-    """Power-law gamma adjust on the 0-255 scale (reference ``brightness``/
-    imadjust, utils/NiftiDataset.py:297-318,372-387; per-call gamma, fixing
-    the import-time-draw bug)."""
-    if gamma is None:
-        gamma = jax.random.uniform(key, (), minval=0.5, maxval=1.7)
-    lo, hi = jnp.min(x), jnp.max(x)
-    span = jnp.maximum(hi - lo, 1e-6)
-    xn = (x - lo) / span
-    return jnp.power(xn, gamma) * span + lo
+def brightness(x, key=None, shift=None, lo=None, hi=None):
+    """Additive brightness shift with clipping (reference ``brightness``,
+    utils/NiftiDataset.py:297-318: c ~ randint[-20,20) on 0-255, clipped).
+    ``shift`` is in the units of [lo, hi] (defaults to the volume range)."""
+    lo = jnp.min(x) if lo is None else lo
+    hi = jnp.max(x) if hi is None else hi
+    if shift is None:
+        c = jax.random.randint(key, (), -20, 20).astype(x.dtype)
+        shift = c * (hi - lo) / 255.0
+    return jnp.clip(x + shift, lo, hi)
 
 
-def contrast(x, key=None, factor: float = None):
-    """Linear contrast about the mean (reference ``contrast``,
-    utils/NiftiDataset.py:321-351)."""
+def contrast(x, key=None, factor=None, lo=None, hi=None):
+    """Contrast about the mean with clipping (reference ``contrast``,
+    utils/NiftiDataset.py:321-351): deviations from the mean luminance scaled
+    by 1 +/- |c|/100 with c ~ randint[-20,20)."""
+    lo = jnp.min(x) if lo is None else lo
+    hi = jnp.max(x) if hi is None else hi
     if factor is None:
-        factor = jax.random.uniform(key, (), minval=0.6, maxval=1.4)
+        c = jax.random.randint(key, (), -20, 20).astype(x.dtype)
+        factor = 1.0 + jnp.sign(c) * jnp.abs(c) / 100.0
     m = jnp.mean(x)
-    return (x - m) * factor + m
+    return jnp.clip((x - m) * factor + m, lo, hi)
 
 
-def translate3d(x, key, max_shift: int = 5, order: int = 1):
-    """Random integer-ish translation (reference translateit,
-    utils/NiftiDataset.py:354-369)."""
-    shift = jax.random.uniform(key, (3,), minval=-max_shift, maxval=max_shift)
+def translate3d(x, key, max_shift: int = 40, order: int = 1):
+    """Random in-plane translation (the reference's translateit with offsets
+    ~ randint[-40,40), utils/NiftiDataset.py:354-369,1243-1255 — an
+    UNREACHABLE choice in the reference policy; exported but not selected)."""
+    shift = jax.random.randint(key, (2,), -max_shift, max_shift).astype(jnp.float32)
     d, h, w = x.shape
     ii, jj, kk = jnp.meshgrid(jnp.arange(d), jnp.arange(h), jnp.arange(w), indexing="ij")
-    coords = [ii - shift[0], jj - shift[1], kk - shift[2]]
+    coords = [ii - shift[0], jj - shift[1], kk.astype(jnp.float32)]
     return jax.scipy.ndimage.map_coordinates(x, coords, order=order, mode="nearest").reshape(x.shape)
 
 
@@ -142,55 +182,94 @@ def translate3d(x, key, max_shift: int = 5, order: int = 1):
 
 
 def random_augment(image: jax.Array, label: jax.Array, key: jax.Array,
-                   paired_spatial: bool = True):
+                   value_range=None, segmentation: bool = False):
     """One random choice of the reference's 8 active augmentations applied to
-    an (image, label) pair. Spatial augs use the same transform for both
-    (labels nearest/linear like the reference applies to both members);
-    intensity augs touch the image only. Jittable; keys split internally."""
+    an (image, label) pair with reference-parity magnitudes (module
+    docstring). ``segmentation=False`` (the reference's setting,
+    utils/NiftiDataset.py:21) applies the intensity augs to both members;
+    True restricts them to the image. Spatial augs always use the same
+    transform for both. Jittable."""
     k_choice, k_a, k_b = jax.random.split(key, 3)
     choice = jax.random.randint(k_choice, (), 0, 8)
+
+    if value_range is not None:
+        ilo = llo = jnp.float32(value_range[0])
+        ihi = lhi = jnp.float32(value_range[1])
+    else:
+        ilo, ihi = jnp.min(image), jnp.max(image)
+        llo, lhi = jnp.min(label), jnp.max(label)
+    iscale = (ihi - ilo) / 255.0
+    lscale = (lhi - llo) / 255.0
+
+    def both_intensity(im, lb, fn_im, fn_lb):
+        if segmentation:
+            return fn_im(im), lb
+        return fn_im(im), fn_lb(lb)
 
     def aug_none(im, lb):
         return im, lb
 
     def aug_noise(im, lb):
-        return add_gaussian_noise(im, k_a), lb
+        km, ks, kn = jax.random.split(k_a, 3)
+        mean = jax.random.uniform(km, ())        # U(0,1) in 0-255 units
+        std = jax.random.uniform(ks, (), maxval=2.0)  # U(0,2)
+        return both_intensity(
+            im, lb,
+            lambda v: add_gaussian_noise(v, kn, mean * iscale, std * iscale),
+            lambda v: add_gaussian_noise(v, kn, mean * lscale, std * lscale))
 
     def aug_blur(im, lb):
-        return gaussian_blur(im, sigma=1.0), lb
+        sigma = jax.random.uniform(k_a, (), maxval=1.5)  # U(0,1.5)
+        return both_intensity(im, lb,
+                              lambda v: gaussian_blur(v, sigma),
+                              lambda v: gaussian_blur(v, sigma))
 
     def aug_rotate(im, lb):
-        angles = jax.random.uniform(k_a, (3,), minval=-math.pi / 60, maxval=math.pi / 60)
-        return rotate3d(im, angles), (rotate3d(lb, angles) if paired_spatial else lb)
+        kx, ky, kz = jax.random.split(k_a, 3)
+        deg = jnp.stack([
+            jax.random.randint(kx, (), -40, 40),
+            jax.random.randint(ky, (), -40, 40),
+            jax.random.randint(kz, (), -180, 180),
+        ]).astype(jnp.float32)
+        angles = deg * (math.pi / 180.0)
+        return rotate3d(im, angles), rotate3d(lb, angles)
 
     def aug_bspline(im, lb):
-        out_i = bspline_deform(im, k_a)
-        out_l = bspline_deform(lb, k_a) if paired_spatial else lb
-        return out_i, out_l
+        return bspline_deform(im, k_a), bspline_deform(lb, k_a)
 
     def aug_flip(im, lb):
-        return flip3d(im, k_a), (flip3d(lb, k_a) if paired_spatial else lb)
+        return flip3d(im, k_a), flip3d(lb, k_a)
 
     def aug_brightness(im, lb):
-        return brightness(im, k_a), lb
+        c = jax.random.randint(k_a, (), -20, 20).astype(jnp.float32)
+        return both_intensity(
+            im, lb,
+            lambda v: brightness(v, shift=c * iscale, lo=ilo, hi=ihi),
+            lambda v: brightness(v, shift=c * lscale, lo=llo, hi=lhi))
 
     def aug_contrast(im, lb):
-        return contrast(im, k_a), lb
+        c = jax.random.randint(k_a, (), -20, 20).astype(jnp.float32)
+        factor = 1.0 + jnp.sign(c) * jnp.abs(c) / 100.0
+        return both_intensity(
+            im, lb,
+            lambda v: contrast(v, factor=factor, lo=ilo, hi=ihi),
+            lambda v: contrast(v, factor=factor, lo=llo, hi=lhi))
 
     branches = [aug_none, aug_noise, aug_blur, aug_rotate, aug_bspline,
                 aug_flip, aug_brightness, aug_contrast]
     return jax.lax.switch(choice, branches, image, label)
 
 
-@partial(jax.jit, static_argnames=("paired_spatial",))
+@partial(jax.jit, static_argnames=("value_range", "segmentation"))
 def augment_batch(images: jax.Array, labels: jax.Array, key: jax.Array,
-                  paired_spatial: bool = True):
+                  value_range=None, segmentation: bool = False):
     """Vectorized policy over a batch of (B,D,H,W,1) patches — ONE compiled
-    program per patch shape (the TPU-native replacement for the reference's
-    per-sample host SimpleITK augmentation)."""
+    program per patch shape. ``value_range`` is the data's intensity
+    convention (e.g. (-1.0, 1.0) for the legacy pipeline); None derives each
+    member's range per sample (the monai pipeline's z-scored images)."""
     keys = jax.random.split(key, images.shape[0])
     im = images[..., 0]
     lb = labels[..., 0]
     out_i, out_l = jax.vmap(
-        lambda i, l, k: random_augment(i, l, k, paired_spatial))(im, lb, keys)
+        lambda i, l, k: random_augment(i, l, k, value_range, segmentation))(im, lb, keys)
     return out_i[..., None], out_l[..., None]

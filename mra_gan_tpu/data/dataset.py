@@ -31,8 +31,9 @@ import numpy as np
 from . import nifti
 from .transforms import (
     crop_foreground,
-    rand_crop_by_pos_neg,
-    random_crop,
+    pad_to_size,
+    rand_crop_starts_by_pos_neg,
+    random_crop_start,
     rescale_0_255,
     resample_to_spacing,
     to_ras,
@@ -157,6 +158,21 @@ class UnpairedVolumeDataset:
 
     # -- per-epoch sampling --
 
+    @staticmethod
+    def _gather(volume: np.ndarray, starts: np.ndarray, patch) -> np.ndarray:
+        """(n, p0, p1, p2) patch gather — native multi-threaded fast path
+        (native/nifti_io.cc::extract_patches) with a numpy fallback."""
+        from . import native
+
+        vol = np.ascontiguousarray(volume, np.float32)
+        if native.available():
+            got = native.extract_patches(vol, starts, tuple(patch))
+            if got is not None:
+                return got
+        return np.stack([
+            vol[s[0]:s[0] + patch[0], s[1]:s[1] + patch[1], s[2]:s[2] + patch[2]]
+            for s in starts])
+
     def sample_patches(self, idx: int, epoch: int = 0) -> List[Tuple[np.ndarray, np.ndarray]]:
         """num_samples (image_patch, label_patch) pairs for one volume,
         deterministic in (seed, epoch, idx). Outputs are (D,H,W,1) float32;
@@ -168,25 +184,37 @@ class UnpairedVolumeDataset:
         image, label = self._preprocess(idx, lbl_idx)
         if self.which_direction == "BtoA":
             image, label = label, image
-        out = []
+        patch = self.patch_size
         if self.pipeline == "monai":
-            for ip, lp in rand_crop_by_pos_neg(
-                    image, label, self.patch_size, rng,
-                    num_samples=self.num_samples, pos=20.0, neg=0.0,
-                    image_threshold=-1.0):
-                out.append((ip[..., None], lp[..., None]))
+            image, label, starts = rand_crop_starts_by_pos_neg(
+                image, label, patch, rng, num_samples=self.num_samples,
+                pos=20.0, neg=0.0, image_threshold=-1.0)
         else:
-            for _ in range(self.num_samples):
-                ip, lp = random_crop(image, label, self.patch_size, rng,
-                                     self.drop_ratio, self.min_pixel)
-                out.append((to_tanh_range(ip)[..., None], to_tanh_range(lp)[..., None]))
-        return out
+            image = pad_to_size(image, patch)
+            label = pad_to_size(label, patch)
+            starts = np.stack([
+                random_crop_start(image, label, patch, rng,
+                                  self.drop_ratio, self.min_pixel)
+                for _ in range(self.num_samples)])
+        imgs = self._gather(image, starts, patch)
+        lbls = self._gather(label, starts, patch)
+        if self.pipeline != "monai":
+            imgs = to_tanh_range(imgs)
+            lbls = to_tanh_range(lbls)
+        return [(imgs[i][..., None], lbls[i][..., None])
+                for i in range(len(starts))]
 
 
 class PatchLoader:
     """Epoch iterator yielding (image_batch, label_batch) numpy arrays of
-    shape (B, D, H, W, 1), with background-thread prefetch (the
-    DataLoader(num_workers) equivalent, reference train.py:52)."""
+    shape (B, D, H, W, 1) — the DataLoader(num_workers) equivalent
+    (reference train.py:52).
+
+    ``workers > 1`` preprocesses that many volumes concurrently in a thread
+    pool (the heavy per-volume work — NIfTI decode, z-score, fg-crop — is
+    numpy/native and releases the GIL), yielding in deterministic order; a
+    separate prefetch thread overlaps batching with device compute. The
+    batch stream is identical for any ``workers`` value."""
 
     def __init__(self, dataset: UnpairedVolumeDataset, batch_size: int = 1,
                  shuffle: bool = True, prefetch: int = 4, workers: int = 1):
@@ -196,13 +224,37 @@ class PatchLoader:
         self.prefetch = max(1, prefetch)
         self.workers = max(0, workers)
 
-    def _patch_stream(self, epoch: int):
+    def _volume_order(self, epoch: int) -> np.ndarray:
         order = np.arange(len(self.ds))
         if self.shuffle:
             np.random.Generator(np.random.Philox(
                 key=self.ds.seed, counter=[epoch, 0, 0, 1])).shuffle(order)
-        for idx in order:
-            yield from self.ds.sample_patches(int(idx), epoch)
+        return order
+
+    def _patch_stream(self, epoch: int):
+        order = self._volume_order(epoch)
+        if self.workers <= 1:
+            for idx in order:
+                yield from self.ds.sample_patches(int(idx), epoch)
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.workers) as ex:
+            inflight: deque = deque()
+            it = iter(order)
+            window = self.workers + self.prefetch
+            for idx in it:
+                inflight.append(ex.submit(self.ds.sample_patches, int(idx), epoch))
+                if len(inflight) >= window:
+                    break
+            while inflight:
+                fut = inflight.popleft()
+                nxt = next(it, None)
+                if nxt is not None:
+                    inflight.append(
+                        ex.submit(self.ds.sample_patches, int(nxt), epoch))
+                yield from fut.result()
 
     def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         def batches():

@@ -243,6 +243,42 @@ def crop_foreground(
     return out_img, out_lbl, sl
 
 
+def rand_crop_starts_by_pos_neg(
+    image: np.ndarray,
+    label: np.ndarray,
+    patch_size: Sequence[int],
+    rng: np.random.Generator,
+    num_samples: int = 2,
+    pos: float = 20.0,
+    neg: float = 0.0,
+    image_threshold: float = -1.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Like rand_crop_by_pos_neg but returns (padded_image, padded_label,
+    starts[n,3]) so callers can gather all patches in one (native,
+    multi-threaded) pass instead of slicing per sample."""
+    patch = [int(p) for p in patch_size]
+    image = pad_to_size(image, patch)
+    label = pad_to_size(label, patch)
+    shape = image.shape[:3]
+    pos_idx = np.argwhere(label[..., 0] > 0 if label.ndim > 3 else label > 0)
+    neg_mask = (image[..., 0] if image.ndim > 3 else image) > image_threshold
+    neg_idx = np.argwhere(neg_mask)
+    p_pos = pos / (pos + neg) if (pos + neg) > 0 else 1.0
+    starts = np.empty((num_samples, 3), np.int64)
+    half_lo = [p // 2 for p in patch]
+    for i in range(num_samples):
+        take_pos = rng.random() < p_pos
+        src = pos_idx if (take_pos and len(pos_idx)) else neg_idx
+        if len(src) == 0:
+            center = [rng.integers(half_lo[a], shape[a] - (patch[a] - half_lo[a]) + 1)
+                      for a in range(3)]
+        else:
+            center = src[rng.integers(len(src))][:3]
+        starts[i] = [int(np.clip(center[a] - half_lo[a], 0, shape[a] - patch[a]))
+                     for a in range(3)]
+    return image, label, starts
+
+
 def rand_crop_by_pos_neg(
     image: np.ndarray,
     label: np.ndarray,
@@ -258,26 +294,11 @@ def rand_crop_by_pos_neg(
     pos/(pos+neg) (here 1.0), else at image>threshold voxels; fall back to
     uniform centers when the requested class is empty."""
     patch = [int(p) for p in patch_size]
-    image = pad_to_size(image, patch)
-    label = pad_to_size(label, patch)
-    shape = image.shape[:3]
-    pos_idx = np.argwhere(label[..., 0] > 0 if label.ndim > 3 else label > 0)
-    neg_mask = (image[..., 0] if image.ndim > 3 else image) > image_threshold
-    neg_idx = np.argwhere(neg_mask)
-    p_pos = pos / (pos + neg) if (pos + neg) > 0 else 1.0
+    image, label, starts = rand_crop_starts_by_pos_neg(
+        image, label, patch, rng, num_samples, pos, neg, image_threshold)
     out = []
-    half_lo = [p // 2 for p in patch]
-    for _ in range(num_samples):
-        take_pos = rng.random() < p_pos
-        src = pos_idx if (take_pos and len(pos_idx)) else neg_idx
-        if len(src) == 0:
-            center = [rng.integers(half_lo[a], shape[a] - (patch[a] - half_lo[a]) + 1)
-                      for a in range(3)]
-        else:
-            center = src[rng.integers(len(src))][:3]
-        start = [int(np.clip(center[a] - half_lo[a], 0, shape[a] - patch[a]))
-                 for a in range(3)]
-        sl = tuple(slice(start[a], start[a] + patch[a]) for a in range(3))
+    for s in starts:
+        sl = tuple(slice(int(s[a]), int(s[a]) + patch[a]) for a in range(3))
         out.append((image[sl], label[sl]))
     return out
 
@@ -329,6 +350,28 @@ def confidence_crop(
     return image[sl], label[sl]
 
 
+def random_crop_start(
+    image: np.ndarray,
+    label: np.ndarray,
+    patch_size: Sequence[int],
+    rng: np.random.Generator,
+    drop_ratio: float = 0.0,
+    min_pixel: int = 1,
+    max_attempts: int = 100,
+) -> np.ndarray:
+    """Start offset of one legacy rejection-sampled crop over the
+    already-padded (image, label). The rejection test reads label views
+    only — no patch copies."""
+    patch = [int(p) for p in patch_size]
+    shape = image.shape[:3]
+    for _ in range(max_attempts):
+        start = [rng.integers(0, shape[a] - patch[a] + 1) for a in range(3)]
+        sl = tuple(slice(start[a], start[a] + patch[a]) for a in range(3))
+        if np.count_nonzero(label[sl]) >= min_pixel or rng.random() <= drop_ratio:
+            break
+    return np.asarray(start, np.int64)
+
+
 def random_crop(
     image: np.ndarray,
     label: np.ndarray,
@@ -346,11 +389,7 @@ def random_crop(
     patch = [int(p) for p in patch_size]
     image = pad_to_size(image, patch)
     label = pad_to_size(label, patch)
-    shape = image.shape[:3]
-    for _ in range(max_attempts):
-        start = [rng.integers(0, shape[a] - patch[a] + 1) for a in range(3)]
-        sl = tuple(slice(start[a], start[a] + patch[a]) for a in range(3))
-        lbl = label[sl]
-        if np.count_nonzero(lbl) >= min_pixel or rng.random() <= drop_ratio:
-            return image[sl], lbl
-    return image[sl], lbl
+    s = random_crop_start(image, label, patch, rng, drop_ratio, min_pixel,
+                          max_attempts)
+    sl = tuple(slice(int(s[a]), int(s[a]) + patch[a]) for a in range(3))
+    return image[sl], label[sl]

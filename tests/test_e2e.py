@@ -62,6 +62,25 @@ def test_train_resume_infer_evaluate(data_root):
     assert np.isfinite(list(metrics.values())).all()
 
 
+def test_train_data_parallel_cli(data_root):
+    """train.py --data_parallel end-to-end on the 8-virtual-device CPU mesh
+    (conftest), incl. the batch-divisibility guard."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import train as train_cli
+
+    ck = str(data_root / "ck_dp")
+    common = ["--data_path", str(data_root / "train"), "--checkpoints_dir", ck,
+              "--name", "dp", *SMALL, "--pool_size", "2", "--data_parallel",
+              "--num_samples", "4", "--niter", "1", "--niter_decay", "0",
+              "--save_epoch_freq", "1", "--augment", "--workers", "2"]
+    with pytest.raises(SystemExit, match="divisible"):
+        train_cli.main(common + ["--batch_size", "3"])
+    train_cli.main(common + ["--batch_size", "8"])
+    assert (data_root / "ck_dp/dp/ckpt_latest").exists()
+    assert (data_root / "ck_dp/dp/loss_log.txt").exists()
+
+
 def test_organize_and_check_patches(data_root, tmp_path):
     import sys
     sys.path.insert(0, "/root/repo")

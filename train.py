@@ -128,7 +128,10 @@ def main(argv=None):
                 from mra_gan_tpu.data.augment import augment_batch
 
                 rng, aug_rng = jax.random.split(rng)
-                a, b = augment_batch(a, b, aug_rng)
+                # legacy patches live in [-1,1] (the reference's 0-255 scale
+                # mapped); monai images are z-scored, so derive per sample
+                vr = (-1.0, 1.0) if opt.pipeline == "legacy" else None
+                a, b = augment_batch(a, b, aug_rng, value_range=vr)
             state, metrics = step(state, a, b, step_rng, lr)
             total_steps += opt.batch_size
             epoch_iter += opt.batch_size
