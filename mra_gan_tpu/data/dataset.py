@@ -190,8 +190,10 @@ class UnpairedVolumeDataset:
                 image, label, patch, rng, num_samples=self.num_samples,
                 pos=20.0, neg=0.0, image_threshold=-1.0)
         else:
-            image = pad_to_size(image, patch)
-            label = pad_to_size(label, patch)
+            # legacy chain pads like the reference's Padding transform:
+            # zero-extension at the high side (see transforms.pad_to_size)
+            image = pad_to_size(image, patch, where="end")
+            label = pad_to_size(label, patch, where="end")
             starts = np.stack([
                 random_crop_start(image, label, patch, rng,
                                   self.drop_ratio, self.min_pixel)

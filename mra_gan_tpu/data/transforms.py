@@ -201,15 +201,25 @@ def pad_to_size(
     size: Sequence[int],
     mode: str = "constant",
     constant_values: float = 0.0,
+    where: str = "symmetric",
 ) -> np.ndarray:
-    """Pad (never crop) the three leading spatial dims up to ``size`` (the
-    legacy Padding transform's contract, reference
-    utils/NiftiDataset.py:876-932 — that one resamples; plain symmetric
-    padding is the shape-preserving TPU-friendly equivalent)."""
+    """Pad (never crop) the three leading spatial dims up to ``size``.
+
+    where='end' reproduces the reference Padding transform exactly
+    (reference utils/NiftiDataset.py:876-932): that one "resamples" onto a
+    larger grid with the SAME spacing/origin/direction and BSpline
+    interpolation — since the output grid nodes coincide with input voxels
+    (exact at nodes) and points beyond the input extent take the resampler's
+    default value 0, it is numerically identical to zero-extending at the
+    high side of each axis. where='symmetric' centers the content instead
+    (MONAI SpatialPad convention, used by the monai-pipeline crops)."""
     pads = []
     for ax in range(3):
         need = max(0, int(size[ax]) - data.shape[ax])
-        pads.append((need // 2, need - need // 2))
+        if where == "end":
+            pads.append((0, need))
+        else:
+            pads.append((need // 2, need - need // 2))
     pads += [(0, 0)] * (data.ndim - 3)
     if all(p == (0, 0) for p in pads):
         return data

@@ -24,6 +24,13 @@ class TestOptions(BaseOptions):
         # --model_suffix is injected by the 'test' model's
         # modify_commandline_options hook (models/test.py), like the
         # reference's dynamic flag registration.
+        parser.add_argument("--pad_mode", type=str, default="reference",
+                            choices=["reference", "symmetric"],
+                            help="sub-patch volume padding: 'reference' "
+                                 "zero-extends at the high side like the "
+                                 "reference's same-spacing BSpline Padding "
+                                 "(utils/NiftiDataset.py:876-932); "
+                                 "'symmetric' centers the content")
         parser.add_argument("--blend", type=str, default="gaussian",
                             choices=["gaussian", "uniform"],
                             help="patch overlap blending window")

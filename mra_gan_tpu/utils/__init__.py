@@ -1,2 +1,2 @@
 from .visualizer import Visualizer
-from .timers import StepTimer, count_params, print_networks, profile_trace
+from .timers import StepTimer, count_params, print_networks

@@ -1,9 +1,8 @@
-"""Step/data timing + optional JAX profiler traces (the reference only has
-wall-clock prints, reference train.py:111-113; the profiler hook is the
-TPU-native upgrade)."""
+"""Step/data timing (the reference only has wall-clock prints, reference
+train.py:111-113); profiler traces are driven directly by train.py
+--profile_dir."""
 from __future__ import annotations
 
-import contextlib
 import time
 
 import jax
@@ -26,19 +25,6 @@ class StepTimer:
         now = time.perf_counter()
         self.t_comp = now - self._last
         self._last = now
-
-
-@contextlib.contextmanager
-def profile_trace(logdir: str | None):
-    """JAX profiler trace context; no-op when logdir is falsy."""
-    if not logdir:
-        yield
-        return
-    jax.profiler.start_trace(logdir)
-    try:
-        yield
-    finally:
-        jax.profiler.stop_trace()
 
 
 def count_params(tree) -> int:

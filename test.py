@@ -57,7 +57,15 @@ def inference(opt):
     if opt.resample:
         work = resample_to_spacing(work, opt.new_resolution, "bspline")
     pre_pad_shape = work.data.shape
-    vol = pad_to_size(work.data, patch)
+    # 'reference' = zero-extend at the high side of each axis, the exact
+    # numeric equivalent of the reference's same-spacing BSpline Padding
+    # (reference utils/NiftiDataset.py:876-932, see transforms.pad_to_size);
+    # 'symmetric' centers the content instead.
+    pad_where = "end" if opt.pad_mode == "reference" else "symmetric"
+    fronts = [0, 0, 0]
+    if pad_where == "symmetric":
+        fronts = [max(0, patch[a] - pre_pad_shape[a]) // 2 for a in range(3)]
+    vol = pad_to_size(work.data, patch, where=pad_where)
     vol = to_tanh_range(vol)
 
     # --- decode ---
@@ -83,8 +91,10 @@ def inference(opt):
     print(f"sliding-window decode: {time.time() - t0:.2f}s "
           f"({vol.shape} vol, {patch} patches)")
 
-    # --- un-pad, restore physical space, write ---
-    out = out[: pre_pad_shape[0], : pre_pad_shape[1], : pre_pad_shape[2]]
+    # --- un-pad (offset by any front padding), restore physical space, write ---
+    out = out[fronts[0]: fronts[0] + pre_pad_shape[0],
+              fronts[1]: fronts[1] + pre_pad_shape[1],
+              fronts[2]: fronts[2] + pre_pad_shape[2]]
     result = nifti.NiftiImage(data=out.astype(np.float32), affine=work.affine)
     if opt.resample:
         result = resample_to_reference(result, original, "bspline")

@@ -109,6 +109,24 @@ def test_pad_to_size_modes():
     assert p2.shape == (4, 5, 6)
 
 
+def test_pad_to_size_end_mode_reference_parity():
+    """'end' padding = the reference Padding's same-spacing BSpline resample
+    (zero at the high side, content anchored at the origin,
+    reference utils/NiftiDataset.py:876-932)."""
+    x = np.random.RandomState(0).rand(5, 8, 3).astype(np.float32)
+    p = pad_to_size(x, (8, 8, 8), where="end")
+    assert p.shape == (8, 8, 8)
+    np.testing.assert_array_equal(p[:5, :, :3], x)
+    assert (p[5:] == 0).all() and (p[:, :, 3:] == 0).all()
+    # un-pad is the plain leading slice — content alignment preserved
+    np.testing.assert_array_equal(p[:5, :8, :3], x)
+    # symmetric mode centers instead
+    s = pad_to_size(x, (8, 8, 8), where="symmetric")
+    f = [(8 - 5) // 2, 0, (8 - 3) // 2]
+    np.testing.assert_array_equal(
+        s[f[0]:f[0] + 5, :, f[2]:f[2] + 3], x)
+
+
 def test_rand_crop_pos_sampling():
     rng = np.random.default_rng(0)
     img = np.random.default_rng(1).random((20, 20, 20), np.float32).astype(np.float32)

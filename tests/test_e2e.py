@@ -61,6 +61,22 @@ def test_train_resume_infer_evaluate(data_root):
     assert set(metrics) == {"ssim", "psnr", "mae", "pearson_r"}
     assert np.isfinite(list(metrics.values())).all()
 
+    # sub-patch volume: reference-parity end-padding must round-trip the
+    # original field of view (both pad modes)
+    small = data_root / "test/images/small.nii"
+    nifti.save(nifti.NiftiImage(
+        data=np.random.RandomState(1).rand(10, 12, 14).astype(np.float32) * 80,
+        affine=np.eye(4)), small)
+    for mode in ("reference", "symmetric"):
+        out_s = str(data_root / f"fake_small_{mode}.nii")
+        test_cli.main(["--image", str(small), "--result", out_s,
+                       "--checkpoints_dir", ck, "--name", "e2e", *SMALL,
+                       "--stride_inplane", "8", "--stride_layer", "8",
+                       "--pad_mode", mode])
+        res_s = nifti.load(out_s)
+        assert res_s.data.shape == (10, 12, 14)
+        assert np.isfinite(res_s.data).all()
+
 
 def test_train_data_parallel_cli(data_root):
     """train.py --data_parallel end-to-end on the 8-virtual-device CPU mesh

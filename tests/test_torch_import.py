@@ -220,6 +220,45 @@ def test_export_dropout_index_shift(ref, tmp_path):
                                    err_msg=str(pa))
 
 
+def test_convert_checkpoint_cli_roundtrip(ref, tmp_path):
+    """convert_checkpoint.py: Orbax -> reference .pth (strict-loadable by the
+    real reference nets) -> Orbax, generators bit-identical."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import convert_checkpoint as cc
+    from mra_gan_tpu.checkpoint import CheckpointManager
+    from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state
+
+    cfg = CycleGANConfig(ngf=4, ndf=4, n_layers_d=1, pool_size=2)
+    state = create_state(cfg, jax.random.PRNGKey(0), (16, 16, 16))
+    CheckpointManager(tmp_path / "ck", "src").save("latest", state,
+                                                   also_latest=False)
+    flags = ["--ngf", "4", "--ndf", "4", "--n_layers_D", "1",
+             "--patch_size", "16", "16", "16", "--pool_size", "2"]
+    td = tmp_path / "torch"
+    cc.main(["--to_torch", "--torch_dir", str(td), "--checkpoints_dir",
+             str(tmp_path / "ck"), "--name", "src", *flags])
+    for net in ("G_A", "G_B", "D_A", "D_B"):
+        assert (td / f"latest_net_{net}.pth").exists()
+    # the real reference code loads it strictly
+    tg = ref.define_G(1, 1, 4, "resnet_6blocks", norm="instance")
+    tg.load_state_dict(torch.load(td / "latest_net_G_A.pth",
+                                  weights_only=True), strict=True)
+    tdn = ref.define_D(1, 4, "n_layers", n_layers_D=1, norm="instance")
+    tdn.load_state_dict(torch.load(td / "latest_net_D_A.pth",
+                                   weights_only=True), strict=True)
+
+    cc.main(["--from_torch", "--torch_dir", str(td), "--checkpoints_dir",
+             str(tmp_path / "ck"), "--name", "back", *flags])
+    template = create_state(cfg, jax.random.PRNGKey(1), (16, 16, 16))
+    back = CheckpointManager(tmp_path / "ck", "back").restore("latest", template)
+    for (pa, la), (_, lb) in zip(
+            jax.tree_util.tree_flatten_with_path(state.g_params)[0],
+            jax.tree_util.tree_flatten_with_path(back.g_params)[0]):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6,
+                                   err_msg=str(pa))
+
+
 def test_export_import_roundtrip(tmp_path):
     net = define_g(output_nc=1, ngf=4, net_g="resnet_6blocks")
     params = net.init(jax.random.PRNGKey(5), jnp.zeros((1, 16, 16, 16, 1)),

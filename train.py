@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from mra_gan_tpu.checkpoint import CheckpointManager
+from mra_gan_tpu.core import get_policy
 from mra_gan_tpu.data.dataset import PatchLoader, UnpairedVolumeDataset
 from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state, make_train_step
 from mra_gan_tpu.options import TrainOptions
@@ -43,7 +44,7 @@ def config_from_opt(opt) -> CycleGANConfig:
         pool_size=getattr(opt, "pool_size", 50),
         beta1=getattr(opt, "beta1", 0.5),
         dynet_sizes=tuple(int(x) for x in opt.patch_size),
-        dtype=jnp.bfloat16 if opt.precision == "bfloat16" else jnp.float32,
+        dtype=get_policy(opt.precision).compute_dtype,
     )
 
 
