@@ -35,8 +35,19 @@ import jax.numpy as jnp
 
 from ..ops.conv import conv3d, conv_transpose3d, replication_pad3d
 from ..ops.init import get_initializer
-from ..ops.norm import instance_norm, instance_norm_act_auto
-from ..ops.s2d import conv3d_s2d, conv3d_s2d_stride2
+from ..ops.norm import (
+    instance_norm,
+    instance_norm_act_auto,
+    instance_norm_act_grouped,
+)
+from ..ops.s2d import (
+    conv3d_s2d,
+    conv3d_s2d_cells,
+    conv3d_s2d_stride2,
+    conv3d_stride2_cells,
+    regroup_cells,
+    space_to_depth,
+)
 from ..ops.subpixel import conv_transpose3d_subpixel
 
 Dtype = Any
@@ -66,36 +77,61 @@ class Conv3D(nn.Module):
     kernel_init: Callable = None  # resolved by parent via init_type
     dtype: Dtype = jnp.float32
     same_edge_pad: bool = False
+    # Cell-domain IO (ops/s2d.py): the tensor between convs stays in S2D(2)
+    # layout (lanes = 8*C, full 128-lane tiles) so the norms/elementwise in
+    # between skip XLA's C<128 lane padding, and the S2D/D2S relayouts of
+    # adjacent reformulated convs cancel. Parameters stay reference-layout.
+    cells_in: bool = False
+    cells_out: bool = False
 
     @nn.compact
     def __call__(self, x):
         k = _canon(self.kernel_size)
-        cin = x.shape[-1]
+        cin = x.shape[-1] // (8 if self.cells_in else 1)
         init = self.kernel_init or get_initializer("normal")
         kernel = self.param("kernel", init, (*k, cin, self.features), jnp.float32)
         xc = x.astype(self.dtype)
         kc = kernel.astype(self.dtype)
         if self.same_edge_pad:
             half = (k[0] - 1) // 2
-            f = _s2d_factor(k, self.stride, cin, self.features, x.shape[1:4])
-            if f:
-                y = conv3d_s2d(xc, kc, f=f, pad_mode="edge")
+            if self.cells_out:
+                # stem-style: true input -> f2 cell-domain output
+                y = conv3d_s2d_cells(space_to_depth(xc, 2), kc, f=2,
+                                     pad_mode="edge", d2s=False)
+            elif self.cells_in:
+                # head-style: f2 cells in -> true out; skinny outputs regroup
+                # to f=4 (measured: f4 wins when cout < 16, see _s2d_factor)
+                f = 4 if (self.features < 16
+                          and all(s % 2 == 0 for s in x.shape[1:4])) else 2
+                xcc = regroup_cells(xc, 2, 4, cin) if f == 4 else xc
+                y = conv3d_s2d_cells(xcc, kc, f=f, pad_mode="edge", d2s=True)
             else:
-                y = conv3d(replication_pad3d(xc, half), kc, self.stride, 0)
+                f = _s2d_factor(k, self.stride, cin, self.features, x.shape[1:4])
+                if f:
+                    y = conv3d_s2d(xc, kc, f=f, pad_mode="edge")
+                else:
+                    y = conv3d(replication_pad3d(xc, half), kc, self.stride, 0)
         else:
             s = _canon(self.stride)
             p = self.padding
+            if self.cells_in:
+                assert s == (2, 2, 2) and isinstance(p, int), (
+                    "cells_in without same_edge_pad supports stride-2 convs only")
+                y = conv3d_stride2_cells(xc, kc, p)
             # stride-2 convs with skinny input channels (the PatchGAN's and
             # U-Net's first layers, cin=1) take the exact S2D(2) path: the
             # conv becomes stride-1 with 8*cin channels (ops/s2d.py).
-            if (s == (2, 2, 2) and isinstance(p, int) and cin < 8
+            elif (s == (2, 2, 2) and isinstance(p, int) and cin < 8
                     and all(d % 2 == 0 for d in x.shape[1:4])):
                 y = conv3d_s2d_stride2(xc, kc, p)
             else:
                 y = conv3d(xc, kc, self.stride, self.padding)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y + bias.astype(self.dtype)
+            b = bias.astype(self.dtype)
+            if self.cells_out:
+                b = jnp.tile(b, 8)  # lane order is (parity, c)
+            y = y + b
         return y
 
 
@@ -123,6 +159,7 @@ class ConvTranspose3D(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = None
     dtype: Dtype = jnp.float32
+    cells_out: bool = False  # keep the subpixel output in S2D(2) cell domain
 
     @nn.compact
     def __call__(self, x):
@@ -139,12 +176,17 @@ class ConvTranspose3D(nn.Module):
         # 3.4x fewer FLOPs and MXU-friendly shapes vs the input-dilated conv.
         if s == (2, 2, 2) and len(set(p)) == 1 and len(set(op)) == 1 \
                 and k[0] + op[0] - 2 * p[0] == 2:
-            y = conv_transpose3d_subpixel(xc, kc, p[0], op[0])
+            y = conv_transpose3d_subpixel(xc, kc, p[0], op[0],
+                                          d2s=not self.cells_out)
         else:
+            assert not self.cells_out, "cells_out needs the subpixel path"
             y = conv_transpose3d(xc, kc, self.stride, self.padding, self.output_padding)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y + bias.astype(self.dtype)
+            b = bias.astype(self.dtype)
+            if self.cells_out:
+                b = jnp.tile(b, 8)
+            y = y + b
         return y
 
 
@@ -241,13 +283,26 @@ class ResnetGenerator3D(nn.Module):
     def __call__(self, x, train: bool = True):
         ki = get_initializer(self.init_type, self.init_gain)
         bias = _use_bias(self.norm)
+        # Full-resolution segments run in S2D(2) cell domain (ops/s2d.py):
+        # stem conv emits cells, the norm uses grouped lane statistics
+        # (numerically identical), down1 consumes cells directly, and on the
+        # way out up2 keeps the subpixel pre-interleave cells for the norm
+        # and the head conv. This removes the S2D/D2S relayouts between
+        # reformulated convs and the 4x lane-padding tax XLA puts on
+        # C<128 full-res elementwise ops (measured ~20% of the v5e step).
+        cells = (self.norm == "instance"
+                 and all(int(s) % 4 == 0 for s in x.shape[1:4]))
         h = Conv3D(self.ngf, 7, use_bias=bias, kernel_init=ki, dtype=self.dtype,
-                   same_edge_pad=True)(x)
-        h = _norm_act(h, self.norm, "relu", self.dtype, train)
+                   same_edge_pad=True, cells_out=cells)(x)
+        if cells:
+            h = instance_norm_act_grouped(h, 8, 1e-5, "relu")
+        else:
+            h = _norm_act(h, self.norm, "relu", self.dtype, train)
         for i in range(2):  # downsample
             mult = 2 ** i
             h = Conv3D(self.ngf * mult * 2, 3, stride=2, padding=1, use_bias=bias,
-                       kernel_init=ki, dtype=self.dtype)(h)
+                       kernel_init=ki, dtype=self.dtype,
+                       cells_in=(cells and i == 0))(h)
             h = _norm_act(h, self.norm, "relu", self.dtype, train)
         mult = 4
         for _ in range(self.n_blocks):
@@ -255,12 +310,16 @@ class ResnetGenerator3D(nn.Module):
                               ki, self.dtype)(h, train)
         for i in range(2):  # upsample
             mult = 2 ** (2 - i)
+            last = i == 1
             h = ConvTranspose3D(self.ngf * mult // 2, 3, stride=2, padding=1,
                                 output_padding=1, use_bias=bias, kernel_init=ki,
-                                dtype=self.dtype)(h)
-            h = _norm_act(h, self.norm, "relu", self.dtype, train)
+                                dtype=self.dtype, cells_out=(cells and last))(h)
+            if cells and last:
+                h = instance_norm_act_grouped(h, 8, 1e-5, "relu")
+            else:
+                h = _norm_act(h, self.norm, "relu", self.dtype, train)
         h = Conv3D(self.output_nc, 7, use_bias=True, kernel_init=ki, dtype=self.dtype,
-                   same_edge_pad=True)(h)
+                   same_edge_pad=True, cells_in=cells)(h)
         return jnp.tanh(h)
 
 

@@ -115,6 +115,66 @@ def _in_vjp_bwd(eps, act, slope, res, g):
 instance_norm_act.defvjp(_in_vjp_fwd, _in_vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# cell-domain (grouped-lane) instance norm
+#
+# For S2D(f) cell-domain tensors (N, D/f, H/f, W/f, f^3*C) the true channel
+# is c = lane % C and the parity offset is lane // C; per-channel instance
+# statistics are therefore means over (spatial, parity-group) — numerically
+# identical to the true-domain norm, but the big tensor is only touched in
+# full-128-lane tiles (C=32 true-domain tensors pay a 4x lane-padding tax).
+
+
+def _group_mean(t: jax.Array, groups: int) -> jax.Array:
+    """Mean over spatial dims and the parity groups of the lane dim:
+    (N,...,groups*C) -> (N,1,1,1,groups*C) with per-(n,c) values tiled."""
+    m = jnp.mean(t, axis=SPATIAL_AXES)  # (N, groups*C)
+    n, L = m.shape
+    c = L // groups
+    m = jnp.mean(m.reshape(n, groups, c), axis=1)  # (N, C)
+    return jnp.tile(m, (1, groups))[:, None, None, None, :]
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def instance_norm_act_grouped(
+    x: jax.Array,
+    groups: int,
+    eps: float = 1e-5,
+    act: str = "none",
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    """instance_norm_act for cell-domain tensors (see module note)."""
+    z, _, _ = _ing_fwd_core(x, groups, eps)
+    return _apply_act(z, act, negative_slope).astype(x.dtype)
+
+
+def _ing_fwd_core(x, groups, eps):
+    xf = x.astype(jnp.float32)
+    mean = _group_mean(xf, groups)
+    var = _group_mean(jnp.square(xf - mean), groups)
+    rstd = jax.lax.rsqrt(var + eps)
+    return (xf - mean) * rstd, mean, rstd
+
+
+def _ing_vjp_fwd(x, groups, eps, act, slope):
+    z, mean, rstd = _ing_fwd_core(x, groups, eps)
+    y = _apply_act(z, act, slope).astype(x.dtype)
+    return y, (x, mean, rstd)
+
+
+def _ing_vjp_bwd(groups, eps, act, slope, res, g):
+    x, mean, rstd = res
+    z = (x.astype(jnp.float32) - mean) * rstd
+    gp = g.astype(jnp.float32) * _act_grad(z, act, slope)
+    gmean = _group_mean(gp, groups)
+    gzmean = _group_mean(gp * z, groups)
+    dx = rstd * (gp - gmean - z * gzmean)
+    return (dx.astype(g.dtype),)
+
+
+instance_norm_act_grouped.defvjp(_ing_vjp_fwd, _ing_vjp_bwd)
+
+
 def instance_norm_act_auto(
     x: jax.Array,
     act: str = "none",

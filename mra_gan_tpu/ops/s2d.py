@@ -60,58 +60,168 @@ def _remap_indices(k: int, f: int) -> Tuple[np.ndarray, np.ndarray, int]:
     return np.where(valid, t, 0).astype(np.int32), valid, ku
 
 
+def _onehot(T: np.ndarray, valid: np.ndarray, k: int, dtype) -> jax.Array:
+    """Flatten a tap table (.., entries) + mask into a ((..), k) one-hot
+    matrix. Each row has at most one 1, so contracting with it reproduces the
+    gather exactly (no summation error, any dtype)."""
+    A = (np.arange(k)[None, :] == T.reshape(-1, 1)) & valid.reshape(-1, 1)
+    return jnp.asarray(A.astype(np.float32)).astype(dtype)
+
+
 def remap_weight_s2d(w: jax.Array, f: int) -> jax.Array:
-    """(k,k,k,ci,co) -> (ku,ku,ku, f^3*ci, f^3*co) dense S2D weight."""
+    """(k,k,k,ci,co) -> (ku,ku,ku, f^3*ci, f^3*co) dense S2D weight.
+
+    Implemented as three per-axis one-hot contractions instead of a
+    fancy-index gather: the gather lowers to a slow random-access fusion on
+    TPU (~0.8 ms for the f=4 head remap, plus a scatter-add in the backward),
+    while the one-hot matmuls are MXU-trivial and their VJP is the transposed
+    matmul."""
     k, _, _, ci, co = w.shape
     T, valid, ku = _remap_indices(k, f)
-    # gather per axis then combine; result axes:
+    A = _onehot(T, valid, k, w.dtype)  # (ku*f*f, k)
+    # contract each spatial axis of w with A: (t,s,r,ci,co) -> (Ad,Ah,Aw,ci,co)
+    wg = jnp.einsum("at,bs,cr,tsrio->abcio", A, A, A, w)
+    wg = wg.reshape(ku, f, f, ku, f, f, ku, f, f, ci, co)
     # (ud,pid,pod, uh,pih,poh, uw,piw,pow, ci, co)
-    wg = w[T[:, :, :, None, None, None, None, None, None],
-           T[None, None, None, :, :, :, None, None, None],
-           T[None, None, None, None, None, None, :, :, :], :, :]
-    m = (valid[:, :, :, None, None, None, None, None, None]
-         & valid[None, None, None, :, :, :, None, None, None]
-         & valid[None, None, None, None, None, None, :, :, :])
-    wg = jnp.where(m[..., None, None], wg, 0)
     # -> (ud,uh,uw, pid,pih,piw, ci, pod,poh,pow, co)
     wg = wg.transpose(0, 3, 6, 1, 4, 7, 9, 2, 5, 8, 10)
     return wg.reshape(ku, ku, ku, f ** 3 * ci, f ** 3 * co)
+
+
+def edge_pad_cells(xc: jax.Array, f: int, pad_cells: int, c: int) -> jax.Array:
+    """Edge-replication padding of a cell-domain tensor by whole cells.
+
+    A pad cell replicates the true edge value, so along each axis it is the
+    boundary parity slice (p=0 low / p=f-1 high) of the adjacent edge cell,
+    broadcast over that axis's parity — exactly what true-domain edge
+    padding by a multiple of f produces after space_to_depth. The lane
+    reshapes touch only 1-cell-thick slabs."""
+    if pad_cells == 0:
+        return xc
+    for ax in (1, 2, 3):
+        def boundary(idx: int, par: int) -> jax.Array:
+            slab = jax.lax.slice_in_dim(xc, idx, idx + 1, axis=ax)
+            full = slab.shape[:-1] + (f, f, f, c)
+            s = slab.reshape(full)
+            pi = [slice(None)] * len(full)
+            pi[len(full) - 4 + (ax - 1)] = slice(par, par + 1)
+            sel = jnp.broadcast_to(s[tuple(pi)], full)
+            return sel.reshape(slab.shape)
+
+        lo = boundary(0, 0)
+        hi = boundary(xc.shape[ax] - 1, f - 1)
+        xc = jnp.concatenate([lo] * pad_cells + [xc] + [hi] * pad_cells,
+                             axis=ax)
+    return xc
+
+
+def zero_pad_cells(xc: jax.Array, pad_cells: int) -> jax.Array:
+    return jnp.pad(xc, ((0, 0),) + ((pad_cells, pad_cells),) * 3 + ((0, 0),))
+
+
+def conv3d_s2d_cells(xc: jax.Array, w: jax.Array, f: int = 4,
+                     pad_mode: str = "edge", d2s: bool = True) -> jax.Array:
+    """conv3d_s2d on an input ALREADY in cell domain; optionally keep the
+    output in cell domain (``d2s=False``) so downstream elementwise/norm ops
+    run with full 128-lane tiles instead of lane-padded skinny channels.
+    xc: (N, D/f, H/f, W/f, f^3*ci); w: (k,k,k,ci,co) in the reference layout."""
+    k = w.shape[0]
+    half = (k - 1) // 2
+    ci = w.shape[3]
+    # pad by whole cells; extra positions beyond `half` only hit zero entries
+    # of W' (taps outside [0,k)) — exactness preserved.
+    pad = f * int(np.ceil(half / f))
+    if pad_mode == "edge":
+        xp = edge_pad_cells(xc, f, pad // f, ci)
+    else:
+        xp = zero_pad_cells(xc, pad // f)
+    shift = pad - half  # folded into the tap index (see conv3d_s2d)
+    wz = jnp.pad(w, ((shift, 0),) * 3 + ((0, 0), (0, 0))) if shift else w
+    wp = remap_weight_s2d(wz, f)
+    out = jax.lax.conv_general_dilated(
+        xp, wp, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=xc.dtype)
+    return depth_to_space(out, f) if d2s else out
 
 
 def conv3d_s2d(x: jax.Array, w: jax.Array, f: int = 4,
                pad_mode: str = "edge") -> jax.Array:
     """Exact stride-1 'same' conv (k odd) with ``pad_mode`` boundary,
     computed in S2D(f) domain. x: (N,D,H,W,ci), w: (k,k,k,ci,co).
-    Spatial dims must be divisible by f."""
+    Spatial dims must be divisible by f.
+
+    Alignment note: with pad = f*ceil(half/f) cells of padding, the first
+    tap lands `shift = pad - half` positions into the padded region; the
+    shift is folded into the tap index by left-padding w with zeros (a
+    virtual kernel of size k+shift), keeping the cell remap exact."""
+    n, d, h, wd, ci = x.shape
+    assert d % f == 0 and h % f == 0 and wd % f == 0, (x.shape, f)
+    return conv3d_s2d_cells(space_to_depth(x, f), w, f, pad_mode, d2s=True)
+
+
+def regroup_cells(xc: jax.Array, f_from: int, f_to: int, c: int) -> jax.Array:
+    """(N, D/f_from, ..., f_from^3*c) -> (N, D/f_to, ..., f_to^3*c): merge
+    r^3 = (f_to/f_from)^3 neighboring cells into one coarser cell. True
+    position i = f_to*C + f_from*b + p (b = within-group cell offset), so
+    the coarse parity is p' = f_from*b + p — one transpose, no full-res
+    intermediate."""
+    assert f_to % f_from == 0
+    r = f_to // f_from
+    n, d, h, w, L = xc.shape
+    x = xc.reshape(n, d // r, r, h // r, r, w // r, r,
+                   f_from, f_from, f_from, c)
+    x = x.transpose(0, 1, 3, 5, 2, 7, 4, 8, 6, 9, 10)
+    return x.reshape(n, d // r, h // r, w // r, f_to ** 3 * c)
+
+
+@lru_cache(maxsize=None)
+def _strided_map(k: int, f: int) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Per-axis tap table for the strided S2D form: tap index
+    T[tau, po] = tau - po with validity 0 <= tau-po < k; kernel span
+    K'' = k + f - 1."""
+    kk = k + f - 1
+    tau = np.arange(kk)[:, None]
+    po = np.arange(f)[None, :]
+    t = tau - po
+    valid = (t >= 0) & (t < k)
+    return np.where(valid, t, 0).astype(np.int32), valid, kk
+
+
+def remap_weight_strided(w: jax.Array, f: int) -> jax.Array:
+    """(k,k,k,ci,co) -> (K'',K'',K'', ci, f^3*co) for the strided S2D form."""
+    k, _, _, ci, co = w.shape
+    T, valid, kk = _strided_map(k, f)
+    A = _onehot(T, valid, k, w.dtype)  # (kk*f, k)
+    wg = jnp.einsum("at,bs,cr,tsrio->abcio", A, A, A, w)
+    wg = wg.reshape(kk, f, kk, f, kk, f, ci, co)
+    # (td,pod, th,poh, tw,pow, ci, co) -> (td, th, tw, ci, pod, poh, pow, co)
+    wg = wg.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    return wg.reshape(kk, kk, kk, ci, f ** 3 * co)
+
+
+def conv3d_s2d_strided(x: jax.Array, w: jax.Array, f: int = 4,
+                       pad_mode: str = "edge") -> jax.Array:
+    """Exact stride-1 'same' conv (k odd) computed as ONE stride-f conv on
+    the ORIGINAL layout — the no-input-relayout variant of conv3d_s2d.
+
+    y[f*O+po] = sum_t w[t] xp[f*O+po+t]  (xp = x padded by half=(k-1)/2)
+    is a stride-f VALID conv with kernel span K''=k+f-1 producing all f^3
+    parity offsets as output channels, un-interleaved by depth_to_space.
+    vs conv3d_s2d: no space_to_depth copy of x, true `half` padding only
+    (no f-alignment), (K''/k)^3 FLOP blowup instead of (ku*f/k)^3, and the
+    backward is XLA's standard strided-conv autodiff (MXU-lowered) rather
+    than gather-remap fusions. Measured in the full CycleGAN step on v5e it
+    replaces ~12 ms of backward fusions + pad/copy traffic."""
     k = w.shape[0]
     half = (k - 1) // 2
     n, d, h, wd, ci = x.shape
     assert d % f == 0 and h % f == 0 and wd % f == 0, (x.shape, f)
-    # pad up to a whole number of cells; extra positions beyond `half` hit
-    # only zero entries of W' (taps outside [0,k)), so edge values there are
-    # harmless — exactness preserved.
-    pad = f * int(np.ceil(half / f))
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)),
+    xp = jnp.pad(x, ((0, 0), (half, half), (half, half), (half, half), (0, 0)),
                  mode=pad_mode)
-    # alignment: with pad cells P=pad//f, output cell O covers input cells
-    # O..O+ku-1 only if the first tap (t=0 -> pos o-half) lands in cell
-    # O + (pad - half)//f ... handled implicitly because pos = o + t - half
-    # + pad = f*(O + u) + pi with u = (po + t - half + pad)//f; our remap
-    # assumed pos = f*u + pi - po + ... : shift w taps so that t'=t holds:
-    # we need pad ≡ half (mod f) for T to be exact; enforce by re-deriving:
-    shift = pad - half  # extra left padding beyond the true half
-    if shift:
-        # fold the shift into the tap index: pos = o + t - half + pad
-        #                                        = f*O + po + t + shift
-        # so effective tap t_eff = t + shift in a virtual kernel of size
-        # k + shift (left-padded with zeros)
-        wz = jnp.pad(w, ((shift, 0),) * 3 + ((0, 0), (0, 0)))
-    else:
-        wz = w
-    wp = remap_weight_s2d(wz, f)
-    xs = space_to_depth(xp, f)
+    wp = remap_weight_strided(w, f)
     out = jax.lax.conv_general_dilated(
-        xs, wp, (1, 1, 1), "VALID",
+        xp, wp, (f, f, f), "VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=x.dtype)
     return depth_to_space(out, f)
@@ -137,38 +247,41 @@ def _stride2_map(k: int, p: int) -> Tuple[np.ndarray, np.ndarray, int, int]:
 
 
 def remap_weight_s2d_stride2(w: jax.Array, p: int):
-    """(k,k,k,ci,co) -> (k',k',k', 8*ci, co) for stride-2 conv on S2D(2)."""
+    """(k,k,k,ci,co) -> (k',k',k', 8*ci, co) for stride-2 conv on S2D(2).
+    One-hot contractions instead of a gather (see remap_weight_s2d)."""
     k = w.shape[0]
     T, M, ku, pad_lo = _stride2_map(k, p)
-    # axes: (u_d,pi_d, u_h,pi_h, u_w,pi_w, ci, co)
-    wg = w[T[:, :, None, None, None, None],
-           T[None, None, :, :, None, None],
-           T[None, None, None, None, :, :], :, :]
-    m = (M[:, :, None, None, None, None]
-         & M[None, None, :, :, None, None]
-         & M[None, None, None, None, :, :])
-    wg = jnp.where(m[..., None, None], wg, 0)
-    # -> (u_d, u_h, u_w, pi_d, pi_h, pi_w, ci, co)
+    A = _onehot(T, M, k, w.dtype)  # (ku*2, k)
+    wg = jnp.einsum("at,bs,cr,tsrio->abcio", A, A, A, w)
+    wg = wg.reshape(ku, 2, ku, 2, ku, 2, w.shape[3], w.shape[4])
+    # (u_d,pi_d, u_h,pi_h, u_w,pi_w, ci, co) -> (u_d,u_h,u_w, pi_d,pi_h,pi_w, ci, co)
     wg = wg.transpose(0, 2, 4, 1, 3, 5, 6, 7)
     return wg.reshape(ku, ku, ku, 8 * w.shape[3], w.shape[4]), pad_lo, ku
 
 
-def conv3d_s2d_stride2(x: jax.Array, w: jax.Array, padding: int = 1) -> jax.Array:
-    """Exact stride-2 zero-padded conv computed on the S2D(2) grid — the
-    output grid IS the cell grid, so the conv becomes stride-1 with channels
-    8*ci (MXU-friendly for skinny ci like the PatchGAN's first layer).
-    x: (N,D,H,W,ci) with even spatial dims; w: (k,k,k,ci,co)."""
-    n, d, h, wd, ci = x.shape
-    assert d % 2 == 0 and h % 2 == 0 and wd % 2 == 0, x.shape
+def conv3d_stride2_cells(xs: jax.Array, w: jax.Array,
+                         padding: int = 1) -> jax.Array:
+    """Stride-2 zero-padded conv consuming an S2D(2) cell-domain input —
+    the output grid IS the cell grid, so the conv is stride-1 with channels
+    8*ci. xs: (N, D/2, H/2, W/2, 8*ci); w: (k,k,k,ci,co)."""
     k = w.shape[0]
     p = padding
+    true = tuple(2 * s for s in xs.shape[1:4])
     wp, pad_lo, ku = remap_weight_s2d_stride2(w, p)
-    xs = space_to_depth(x, 2)
-    n_outs = [(s_ + 2 * p - k) // 2 + 1 for s_ in (d, h, wd)]
+    n_outs = [(s_ + 2 * p - k) // 2 + 1 for s_ in true]
     pads = [(pad_lo, max((n_o - 1 + (ku - 1 - pad_lo)) - (s_ // 2 - 1), 0))
-            for n_o, s_ in zip(n_outs, (d, h, wd))]
+            for n_o, s_ in zip(n_outs, true)]
     out = jax.lax.conv_general_dilated(
         xs, wp, (1, 1, 1), pads,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=x.dtype)
+        preferred_element_type=xs.dtype)
     return out[:, :n_outs[0], :n_outs[1], :n_outs[2], :]
+
+
+def conv3d_s2d_stride2(x: jax.Array, w: jax.Array, padding: int = 1) -> jax.Array:
+    """Exact stride-2 zero-padded conv computed on the S2D(2) grid
+    (MXU-friendly for skinny ci like the PatchGAN's first layer).
+    x: (N,D,H,W,ci) with even spatial dims; w: (k,k,k,ci,co)."""
+    n, d, h, wd, ci = x.shape
+    assert d % 2 == 0 and h % 2 == 0 and wd % 2 == 0, x.shape
+    return conv3d_stride2_cells(space_to_depth(x, 2), w, padding)

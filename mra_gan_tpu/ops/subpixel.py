@@ -55,27 +55,31 @@ def _subpixel_map(k: int, p: int) -> Tuple[np.ndarray, np.ndarray, int, int]:
 
 
 def remap_weight_subpixel(w: jax.Array, p: int) -> Tuple[jax.Array, Tuple[int, int, int], int]:
-    """(k,k,k,ci,co) -> (k',k',k', ci, 8*co); returns (W', pads, k')."""
+    """(k,k,k,ci,co) -> (k',k',k', ci, 8*co); returns (W', pads, k').
+    One-hot contractions instead of a gather (see s2d.remap_weight_s2d)."""
+    from .s2d import _onehot
+
     k = w.shape[0]
     ci, co = w.shape[3], w.shape[4]
     T, M, ku, pad_lo = _subpixel_map(k, p)
-    # gather axes: (q_d,u_d, q_h,u_h, q_w,u_w, ci, co)
-    wg = w[T[:, :, None, None, None, None],
-           T[None, None, :, :, None, None],
-           T[None, None, None, None, :, :], :, :]
-    m = (M[:, :, None, None, None, None]
-         & M[None, None, :, :, None, None]
-         & M[None, None, None, None, :, :])
-    wg = jnp.where(m[..., None, None], wg, 0)
-    # -> (u_d, u_h, u_w, ci, q_d, q_h, q_w, co)
+    A = _onehot(T, M, k, w.dtype)  # (2*ku, k)
+    wg = jnp.einsum("at,bs,cr,tsrio->abcio", A, A, A, w)
+    wg = wg.reshape(2, ku, 2, ku, 2, ku, ci, co)
+    # (q_d,u_d, q_h,u_h, q_w,u_w, ci, co) -> (u_d, u_h, u_w, ci, q_d, q_h, q_w, co)
     wg = wg.transpose(1, 3, 5, 6, 0, 2, 4, 7)
     return wg.reshape(ku, ku, ku, ci, 8 * co), pad_lo, ku
 
 
 def conv_transpose3d_subpixel(x: jax.Array, w: jax.Array, padding: int = 1,
-                              output_padding: int = 1) -> jax.Array:
+                              output_padding: int = 1,
+                              d2s: bool = True) -> jax.Array:
     """Exact stride-2 torch ConvTranspose3d via subpixel conv + D2S.
-    x: (N,D,H,W,ci); w: (kd,kh,kw,ci,co); output (N,2D,2H,2W,co)."""
+    x: (N,D,H,W,ci); w: (kd,kh,kw,ci,co); output (N,2D,2H,2W,co).
+
+    ``d2s=False`` returns the pre-interleave cell-domain tensor
+    (N,D,H,W,8*co) — the subpixel conv's parity-major channel order is
+    exactly the S2D(2) cell convention, so downstream cell-domain consumers
+    (ops/s2d.py) can skip the D2S relayout entirely."""
     k = w.shape[0]
     out_len = 2  # out = 2*in requires (in-1)*2 - 2p + k + op == 2*in
     assert (k + output_padding - 2 * padding) == 2, (
@@ -86,4 +90,4 @@ def conv_transpose3d_subpixel(x: jax.Array, w: jax.Array, padding: int = 1,
         x, wp, (1, 1, 1), [(pad_lo, pad_hi)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=x.dtype)
-    return depth_to_space(out, 2)
+    return depth_to_space(out, 2) if d2s else out

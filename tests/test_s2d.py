@@ -89,3 +89,87 @@ def test_conv3d_s2d_stride2_grad():
     gd = jax.grad(lambda w: jnp.sum(conv3d(x, w, stride=2, padding=1) ** 2))(w)
     gs = jax.grad(lambda w: jnp.sum(conv3d_s2d_stride2(x, w, 1) ** 2))(w)
     np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# cell-domain ops
+
+
+def test_edge_pad_cells_matches_true_edge_pad():
+    from mra_gan_tpu.ops.s2d import edge_pad_cells, space_to_depth
+
+    rng = np.random.RandomState(3)
+    for f, pad_cells, c in [(2, 2, 3), (4, 1, 2)]:
+        x = jnp.asarray(rng.randn(2, 8, 8, 8, c).astype(np.float32))
+        pad = f * pad_cells
+        ref = space_to_depth(
+            jnp.pad(x, ((0, 0),) + ((pad, pad),) * 3 + ((0, 0),), mode="edge"), f)
+        got = edge_pad_cells(space_to_depth(x, f), f, pad_cells, c)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_regroup_cells_exact():
+    from mra_gan_tpu.ops.s2d import depth_to_space, regroup_cells, space_to_depth
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, 5).astype(np.float32))
+    xc2 = space_to_depth(x, 2)
+    got = regroup_cells(xc2, 2, 4, 5)
+    ref = space_to_depth(x, 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(depth_to_space(got, 4)), np.asarray(x))
+
+
+def test_conv3d_s2d_cells_roundtrip():
+    from mra_gan_tpu.ops.conv import replication_pad3d
+    from mra_gan_tpu.ops.s2d import conv3d_s2d_cells, depth_to_space, space_to_depth
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, 2).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 7, 2, 3).astype(np.float32) * 0.1)
+    ref = conv3d(replication_pad3d(x, 3), w, 1, 0)
+    out_cells = conv3d_s2d_cells(space_to_depth(x, 2), w, f=2, d2s=False)
+    got = depth_to_space(out_cells, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_conv3d_stride2_cells_matches():
+    from mra_gan_tpu.ops.s2d import conv3d_stride2_cells, space_to_depth
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 4, 6).astype(np.float32) * 0.1)
+    ref = conv3d(x, w, stride=2, padding=1)
+    got = conv3d_stride2_cells(space_to_depth(x, 2), w, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_grouped_instance_norm_matches_true_domain():
+    from mra_gan_tpu.ops.norm import instance_norm_act, instance_norm_act_grouped
+    from mra_gan_tpu.ops.s2d import depth_to_space, space_to_depth
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 8, 8, 8, 3).astype(np.float32) * 2 + 1)
+    ref = instance_norm_act(x, 1e-5, "relu")
+    got = depth_to_space(
+        instance_norm_act_grouped(space_to_depth(x, 2), 8, 1e-5, "relu"), 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+    # gradients agree too (custom VJPs on both sides)
+    g_ref = jax.grad(lambda v: jnp.sum(instance_norm_act(v, 1e-5, "relu") ** 2))(x)
+    g_cells = jax.grad(lambda v: jnp.sum(
+        instance_norm_act_grouped(space_to_depth(v, 2), 8, 1e-5, "relu") ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_cells), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_subpixel_cells_out_matches_d2s():
+    from mra_gan_tpu.ops.s2d import depth_to_space
+    from mra_gan_tpu.ops.subpixel import conv_transpose3d_subpixel
+
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(1, 4, 4, 4, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 3, 2).astype(np.float32) * 0.1)
+    full = conv_transpose3d_subpixel(x, w, 1, 1, d2s=True)
+    cells = conv_transpose3d_subpixel(x, w, 1, 1, d2s=False)
+    np.testing.assert_array_equal(np.asarray(depth_to_space(cells, 2)),
+                                  np.asarray(full))
