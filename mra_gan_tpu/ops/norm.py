@@ -27,17 +27,17 @@ def instance_norm(
     scale: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Per-sample, per-channel normalization over the spatial dims."""
-    dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=SPATIAL_AXES, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=SPATIAL_AXES, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    """Per-sample, per-channel normalization over the spatial dims.
+    Stats accumulate in float32; elementwise stays in the input dtype."""
+    mean = jnp.mean(x, axis=SPATIAL_AXES, keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(jnp.square(x - mean.astype(x.dtype)), axis=SPATIAL_AXES,
+                   keepdims=True, dtype=jnp.float32)
+    y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(var + eps).astype(x.dtype)
     if scale is not None:
-        y = y * scale
+        y = y * scale.astype(x.dtype)
     if bias is not None:
-        y = y + bias
-    return y.astype(dtype)
+        y = y + bias.astype(x.dtype)
+    return y
 
 
 def _apply_act(z, act: str, slope: float):
@@ -89,11 +89,15 @@ def instance_norm_act(
 
 
 def _in_fwd_core(x, eps):
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=SPATIAL_AXES, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=SPATIAL_AXES, keepdims=True)
+    # Stats accumulate in float32; the big elementwise tensors stay in the
+    # input dtype (an f32 upcast would double the HBM traffic of every
+    # norm's forward AND materialize f32 cotangent-sized tensors in the
+    # backward — measured ~3 ms/step at bf16 on v5e).
+    mean = jnp.mean(x, axis=SPATIAL_AXES, keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(jnp.square((x - mean.astype(x.dtype))), axis=SPATIAL_AXES,
+                   keepdims=True, dtype=jnp.float32)
     rstd = jax.lax.rsqrt(var + eps)
-    return (xf - mean) * rstd, mean, rstd
+    return (x - mean.astype(x.dtype)) * rstd.astype(x.dtype), mean, rstd
 
 
 def _in_vjp_fwd(x, eps, act, slope):
@@ -104,11 +108,12 @@ def _in_vjp_fwd(x, eps, act, slope):
 
 def _in_vjp_bwd(eps, act, slope, res, g):
     x, mean, rstd = res
-    z = (x.astype(jnp.float32) - mean) * rstd
-    gp = g.astype(jnp.float32) * _act_grad(z, act, slope)
-    gmean = jnp.mean(gp, axis=SPATIAL_AXES, keepdims=True)
-    gzmean = jnp.mean(gp * z, axis=SPATIAL_AXES, keepdims=True)
-    dx = rstd * (gp - gmean - z * gzmean)
+    z = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
+    gp = g * _act_grad(z, act, slope).astype(g.dtype)
+    gmean = jnp.mean(gp, axis=SPATIAL_AXES, keepdims=True, dtype=jnp.float32)
+    gzmean = jnp.mean(gp * z, axis=SPATIAL_AXES, keepdims=True, dtype=jnp.float32)
+    dx = rstd.astype(g.dtype) * (gp - gmean.astype(g.dtype)
+                                 - z * gzmean.astype(g.dtype))
     return (dx.astype(g.dtype),)
 
 
@@ -127,8 +132,10 @@ instance_norm_act.defvjp(_in_vjp_fwd, _in_vjp_bwd)
 
 def _group_mean(t: jax.Array, groups: int) -> jax.Array:
     """Mean over spatial dims and the parity groups of the lane dim:
-    (N,...,groups*C) -> (N,1,1,1,groups*C) with per-(n,c) values tiled."""
-    m = jnp.mean(t, axis=SPATIAL_AXES)  # (N, groups*C)
+    (N,...,groups*C) -> (N,1,1,1,groups*C) float32, per-(n,c) values tiled.
+    The float32 accumulation fuses into the reduce — the big tensor is never
+    upcast in memory."""
+    m = jnp.mean(t, axis=SPATIAL_AXES, dtype=jnp.float32)  # (N, groups*C)
     n, L = m.shape
     c = L // groups
     m = jnp.mean(m.reshape(n, groups, c), axis=1)  # (N, C)
@@ -149,11 +156,12 @@ def instance_norm_act_grouped(
 
 
 def _ing_fwd_core(x, groups, eps):
-    xf = x.astype(jnp.float32)
-    mean = _group_mean(xf, groups)
-    var = _group_mean(jnp.square(xf - mean), groups)
+    # float32 stats, input-dtype elementwise (see _in_fwd_core)
+    mean = _group_mean(x, groups)
+    xm = x - mean.astype(x.dtype)
+    var = _group_mean(jnp.square(xm), groups)
     rstd = jax.lax.rsqrt(var + eps)
-    return (xf - mean) * rstd, mean, rstd
+    return xm * rstd.astype(x.dtype), mean, rstd
 
 
 def _ing_vjp_fwd(x, groups, eps, act, slope):
@@ -164,11 +172,12 @@ def _ing_vjp_fwd(x, groups, eps, act, slope):
 
 def _ing_vjp_bwd(groups, eps, act, slope, res, g):
     x, mean, rstd = res
-    z = (x.astype(jnp.float32) - mean) * rstd
-    gp = g.astype(jnp.float32) * _act_grad(z, act, slope)
+    z = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
+    gp = g * _act_grad(z, act, slope).astype(g.dtype)
     gmean = _group_mean(gp, groups)
     gzmean = _group_mean(gp * z, groups)
-    dx = rstd * (gp - gmean - z * gzmean)
+    dx = rstd.astype(g.dtype) * (gp - gmean.astype(g.dtype)
+                                 - z * gzmean.astype(g.dtype))
     return (dx.astype(g.dtype),)
 
 
