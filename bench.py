@@ -29,6 +29,33 @@ WARMUP = 3
 ITERS = 20
 
 
+def _bench_inference(cfg, state) -> float:
+    """Secs/volume: sliding-window decode of a 256x256x128 volume with the
+    trained-generator forward (the reference test.py workflow, BASELINE.json
+    'secs/volume' metric)."""
+    import numpy as np
+
+    from mra_gan_tpu.infer import sliding_window_inference
+    from mra_gan_tpu.models.cycle_gan import make_generate_fn
+
+    gen = make_generate_fn(cfg, "g_a")
+    params = state.g_params["g_a"]
+    gen_fn = jax.jit(lambda x: gen(params, x))
+    vol = np.random.RandomState(0).rand(128, 256, 256).astype(np.float32) * 2 - 1
+
+    def run():
+        return sliding_window_inference(vol, gen_fn, patch_size=PATCH,
+                                        stride_inplane=32, stride_layer=32,
+                                        blend="gaussian", batch=8)
+
+    run()  # compile + warm
+    t0 = time.perf_counter()
+    out = run()
+    dt = time.perf_counter() - t0
+    assert np.isfinite(out).all()
+    return dt
+
+
 def main() -> None:
     from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state, make_train_step
 
@@ -57,12 +84,18 @@ def main() -> None:
     hard_sync(metrics)
     dt = time.perf_counter() - t0
 
+    try:
+        infer_secs = round(_bench_inference(cfg, state), 3)
+    except Exception:
+        infer_secs = None
+
     pairs_per_sec = BATCH * ITERS / dt
     print(json.dumps({
         "metric": "64^3-patch pairs/sec/chip (full CycleGAN train step, bf16)",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / V100_PAIRS_PER_SEC_EST, 2),
+        "inference_secs_per_volume_256x256x128": infer_secs,
     }))
 
 

@@ -98,6 +98,14 @@ class CycleGANConfig:
                        use_sigmoid, self.init_type, self.init_gain, self.dtype)
         return g_a, g_b, d_a, d_b
 
+    def uses_cells(self, spatial) -> bool:
+        """Whether the fused train step runs the G<->D loop in the S2D(4)
+        cell domain (TPU-internal layout; parameters and all public APIs are
+        unaffected — see networks.ResnetGenerator3D.cells_io)."""
+        return (self.net_g in ("resnet_6blocks", "resnet_9blocks")
+                and self.norm == "instance"
+                and all(int(s) % 4 == 0 for s in spatial))
+
 
 class PoolState(flax.struct.PyTreeNode):
     images: jax.Array  # (pool_size, D, H, W, C)
@@ -120,7 +128,12 @@ def _adam(beta1: float) -> optax.GradientTransformation:
 
 
 def _empty_pool(cfg: CycleGANConfig, patch_shape, channels: int) -> PoolState:
-    shape = (max(cfg.pool_size, 1), *patch_shape, channels)
+    if cfg.uses_cells(patch_shape):
+        # the step stores fakes in their internal S2D(4) cell layout
+        shape = (max(cfg.pool_size, 1),
+                 *(int(p) // 4 for p in patch_shape), 64 * channels)
+    else:
+        shape = (max(cfg.pool_size, 1), *patch_shape, channels)
     return PoolState(
         images=jnp.zeros(shape, cfg.dtype),
         count=jnp.zeros((), jnp.int32),
@@ -193,17 +206,30 @@ def make_train_step(cfg: CycleGANConfig):
     step(state, real_a, real_b, rng, lr) -> (state, metrics)
     real_a: (B, D, H, W, input_nc) in [-1, 1]; real_b likewise.
     """
-    g_a, g_b, d_a, d_b = cfg.build_nets()
+    base_nets = cfg.build_nets()
     lam_idt = cfg.lambda_identity
     # Instance norm (and 'none') is strictly per-sample, so independent
     # generator inputs can be stacked into ONE batched apply — 6 G forwards
-    # collapse to 3 (G_A[real_A,real_B] -> fake_B,idt_A;
-    # G_B[fake_B,real_B,real_A] -> rec_A,fake_A,idt_B; G_A[fake_A] -> rec_B),
-    # raising MXU utilization at the reference's batch-1 workload. Batch norm
-    # couples samples through batch statistics, so it keeps separate applies.
+    # collapse to 4 (leaf/chain split), raising MXU utilization at the
+    # reference's batch-1 workload. Batch norm couples samples through batch
+    # statistics, so it keeps separate applies.
     fuse = cfg.norm in ("instance", "none")
 
-    def g_loss_fn(g_params, d_params, real_a, real_b, rngs_per_apply):
+    def _build_losses(g_a, g_b, d_a, d_b):
+        """Loss closures over a concrete net 4-tuple (true-layout or
+        cells_io variants — same parameters either way)."""
+        g_loss_fn = _make_g_loss(g_a, g_b, d_a, d_b)
+        d_loss_fn = _make_d_loss(d_a, d_b)
+        return g_loss_fn, d_loss_fn
+
+    def _make_g_loss(g_a, g_b, d_a, d_b):
+        return lambda *a: g_loss_impl(g_a, g_b, d_a, d_b, *a)
+
+    def _make_d_loss(d_a, d_b):
+        return lambda *a: d_loss_impl(d_a, d_b, *a)
+
+    def g_loss_impl(g_a, g_b, d_a, d_b, g_params, d_params, real_a, real_b,
+                    rngs_per_apply):
         # rngs_per_apply: one independent dropout-rng dict per generator
         # apply, matching the reference's independent masks per torch forward
         # (dropout only; empty dicts when no_dropout).
@@ -271,7 +297,7 @@ def make_train_step(cfg: CycleGANConfig):
         }
         return loss, aux
 
-    def d_loss_fn(d_params, real_a, real_b, fake_a, fake_b):
+    def d_loss_impl(d_a, d_b, d_params, real_a, real_b, fake_a, fake_b):
         # loss_D = 0.5*(gan(D(real),1) + gan(D(pooled fake),0)) per D
         # (reference :138-149); both Ds step together (reference :237-240).
         # Real and fake stack into one batched apply under per-sample norms.
@@ -304,6 +330,19 @@ def make_train_step(cfg: CycleGANConfig):
     def train_step(state: CycleGANState, real_a, real_b, rng, lr):
         real_a = real_a.astype(cfg.dtype)
         real_b = real_b.astype(cfg.dtype)
+        # Run the whole G<->D loop in the S2D(4) cell domain when supported:
+        # the reals convert once here (C=1: tiny), every intermediate stays
+        # in full-128-lane tiles, and no D2S/S2D relayout exists inside the
+        # step. Losses are means, so they are layout-invariant.
+        if cfg.uses_cells(real_a.shape[1:4]):
+            from ..ops.s2d import space_to_depth
+
+            nets = tuple(n.clone(cells_io=True) for n in base_nets)
+            real_a = space_to_depth(real_a, 4)
+            real_b = space_to_depth(real_b, 4)
+        else:
+            nets = base_nets
+        g_loss_fn, d_loss_fn = _build_losses(*nets)
         k_drop, k_pool_a, k_pool_b = jax.random.split(rng, 3)
         if cfg.no_dropout:
             rngs_per_apply = ({},) * 6

@@ -48,7 +48,10 @@ from ..ops.s2d import (
     regroup_cells,
     space_to_depth,
 )
-from ..ops.subpixel import conv_transpose3d_subpixel
+from ..ops.subpixel import (
+    conv_transpose3d_subpixel,
+    conv_transpose3d_subpixel_cells,
+)
 
 Dtype = Any
 
@@ -77,34 +80,41 @@ class Conv3D(nn.Module):
     kernel_init: Callable = None  # resolved by parent via init_type
     dtype: Dtype = jnp.float32
     same_edge_pad: bool = False
-    # Cell-domain IO (ops/s2d.py): the tensor between convs stays in S2D(2)
-    # layout (lanes = 8*C, full 128-lane tiles) so the norms/elementwise in
+    # Cell-domain IO (ops/s2d.py): tensors between convs stay in S2D(f)
+    # layout (lanes = f^3*C, full 128-lane tiles) so the norms/elementwise in
     # between skip XLA's C<128 lane padding, and the S2D/D2S relayouts of
-    # adjacent reformulated convs cancel. Parameters stay reference-layout.
-    cells_in: bool = False
-    cells_out: bool = False
+    # adjacent reformulated convs cancel. 0 = true layout; 2/4 = S2D factor
+    # of the input/output cell domain. Parameters stay reference-layout.
+    cells_in: int = 0
+    cells_out: int = 0
 
     @nn.compact
     def __call__(self, x):
         k = _canon(self.kernel_size)
-        cin = x.shape[-1] // (8 if self.cells_in else 1)
+        cin = x.shape[-1] // (self.cells_in ** 3 if self.cells_in else 1)
         init = self.kernel_init or get_initializer("normal")
         kernel = self.param("kernel", init, (*k, cin, self.features), jnp.float32)
         xc = x.astype(self.dtype)
         kc = kernel.astype(self.dtype)
         if self.same_edge_pad:
             half = (k[0] - 1) // 2
-            if self.cells_out:
-                # stem-style: true input -> f2 cell-domain output
-                y = conv3d_s2d_cells(space_to_depth(xc, 2), kc, f=2,
-                                     pad_mode="edge", d2s=False)
-            elif self.cells_in:
-                # head-style: f2 cells in -> true out; skinny outputs regroup
-                # to f=4 (measured: f4 wins when cout < 16, see _s2d_factor)
-                f = 4 if (self.features < 16
-                          and all(s % 2 == 0 for s in x.shape[1:4])) else 2
-                xcc = regroup_cells(xc, 2, 4, cin) if f == 4 else xc
-                y = conv3d_s2d_cells(xcc, kc, f=f, pad_mode="edge", d2s=True)
+            if self.cells_in or self.cells_out:
+                # stem/head-style cell-domain conv. Pick the compute domain:
+                # skinny outputs (head) run at f=4 (measured: f4 wins when
+                # cout < 16, see _s2d_factor), fat outputs (stem) at f=2.
+                # (stem at f=4 measured WORSE overall — the extra f4<->f2
+                # regroups outweigh the friendlier backward lanes)
+                f = 4 if self.features < 16 else 2
+                if self.cells_in == 0:
+                    xcc = space_to_depth(xc, f)
+                elif self.cells_in != f:
+                    xcc = regroup_cells(xc, self.cells_in, f, cin)
+                else:
+                    xcc = xc
+                y = conv3d_s2d_cells(xcc, kc, f=f, pad_mode="edge",
+                                     d2s=(self.cells_out == 0))
+                if self.cells_out not in (0, f):
+                    y = regroup_cells(y, f, self.cells_out, self.features)
             else:
                 f = _s2d_factor(k, self.stride, cin, self.features, x.shape[1:4])
                 if f:
@@ -117,7 +127,9 @@ class Conv3D(nn.Module):
             if self.cells_in:
                 assert s == (2, 2, 2) and isinstance(p, int), (
                     "cells_in without same_edge_pad supports stride-2 convs only")
-                y = conv3d_stride2_cells(xc, kc, p)
+                xcc = (regroup_cells(xc, self.cells_in, 2, cin)
+                       if self.cells_in != 2 else xc)
+                y = conv3d_stride2_cells(xcc, kc, p)
             # stride-2 convs with skinny input channels (the PatchGAN's and
             # U-Net's first layers, cin=1) take the exact S2D(2) path: the
             # conv becomes stride-1 with 8*cin channels (ops/s2d.py).
@@ -130,7 +142,7 @@ class Conv3D(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             b = bias.astype(self.dtype)
             if self.cells_out:
-                b = jnp.tile(b, 8)  # lane order is (parity, c)
+                b = jnp.tile(b, self.cells_out ** 3)  # lane order is (parity, c)
             y = y + b
         return y
 
@@ -159,12 +171,17 @@ class ConvTranspose3D(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = None
     dtype: Dtype = jnp.float32
-    cells_out: bool = False  # keep the subpixel output in S2D(2) cell domain
+    # cell-domain IO (ops/s2d.py): cells_in=2 consumes S2D(2) cells and emits
+    # S2D(4) cells of the doubled grid via the composed weight remap (zero
+    # activation relayout, ops/subpixel.py); cells_out=2 keeps the subpixel
+    # pre-interleave cells of a true-layout input.
+    cells_in: int = 0
+    cells_out: int = 0
 
     @nn.compact
     def __call__(self, x):
         k = _canon(self.kernel_size)
-        cin = x.shape[-1]
+        cin = x.shape[-1] // (self.cells_in ** 3 if self.cells_in else 1)
         init = self.kernel_init or get_initializer("normal")
         kernel = self.param("kernel", init, (*k, cin, self.features), jnp.float32)
         xc = x.astype(self.dtype)
@@ -174,18 +191,25 @@ class ConvTranspose3D(nn.Module):
         op = _canon(self.output_padding)
         # stride-2 upsamples take the exact subpixel path (ops/subpixel.py):
         # 3.4x fewer FLOPs and MXU-friendly shapes vs the input-dilated conv.
-        if s == (2, 2, 2) and len(set(p)) == 1 and len(set(op)) == 1 \
-                and k[0] + op[0] - 2 * p[0] == 2:
+        subpixel_ok = (s == (2, 2, 2) and len(set(p)) == 1 and len(set(op)) == 1
+                       and k[0] + op[0] - 2 * p[0] == 2)
+        if self.cells_in:
+            assert subpixel_ok and self.cells_in == 2
+            y = conv_transpose3d_subpixel_cells(xc, kc, p[0], op[0])
+            tile = 64  # f4-cell lanes (p4, c)
+        elif subpixel_ok:
             y = conv_transpose3d_subpixel(xc, kc, p[0], op[0],
-                                          d2s=not self.cells_out)
+                                          d2s=(self.cells_out == 0))
+            tile = 8 if self.cells_out else 1
         else:
             assert not self.cells_out, "cells_out needs the subpixel path"
             y = conv_transpose3d(xc, kc, self.stride, self.padding, self.output_padding)
+            tile = 1
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             b = bias.astype(self.dtype)
-            if self.cells_out:
-                b = jnp.tile(b, 8)
+            if tile > 1:
+                b = jnp.tile(b, tile)
             y = y + b
         return y
 
@@ -270,6 +294,13 @@ class ResnetBlock3D(nn.Module):
 
 
 class ResnetGenerator3D(nn.Module):
+    """c7s1-ngf ... Tanh (reference models/networks3D.py:173-263).
+
+    ``cells_io=True`` makes __call__ take and return S2D(4) cell-domain
+    tensors (N, D/4, H/4, W/4, 64*C) — used by the fused train step so the
+    whole G<->D loop never interleaves back to true layout. Parameters are
+    identical in both modes (remaps are weight-side)."""
+
     output_nc: int = 1
     ngf: int = 32
     n_blocks: int = 6
@@ -278,22 +309,34 @@ class ResnetGenerator3D(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    cells_io: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         ki = get_initializer(self.init_type, self.init_gain)
         bias = _use_bias(self.norm)
-        # Full-resolution segments run in S2D(2) cell domain (ops/s2d.py):
-        # stem conv emits cells, the norm uses grouped lane statistics
-        # (numerically identical), down1 consumes cells directly, and on the
-        # way out up2 keeps the subpixel pre-interleave cells for the norm
-        # and the head conv. This removes the S2D/D2S relayouts between
-        # reformulated convs and the 4x lane-padding tax XLA puts on
-        # C<128 full-res elementwise ops (measured ~20% of the v5e step).
+        # Full-resolution segments run in S2D cell domain (ops/s2d.py):
+        # stem conv emits cells, norms use grouped lane statistics
+        # (numerically identical), down1 consumes cells directly; on the way
+        # out up1 keeps the subpixel pre-interleave cells, up2 maps f2-cells
+        # to f4-cells with a composed weight remap (zero activation
+        # relayout), and the head consumes f4 cells. This removes the
+        # S2D/D2S relayouts between reformulated convs and the 4x
+        # lane-padding tax XLA puts on C<128 full-res elementwise ops
+        # (127 -> ~75 ms/step on v5e with the rest of the cell plumbing).
+        true_spatial = [int(s) * (4 if self.cells_io else 1)
+                        for s in x.shape[1:4]]
         cells = (self.norm == "instance"
-                 and all(int(s) % 4 == 0 for s in x.shape[1:4]))
+                 and all(s % 4 == 0 for s in true_spatial))
+        assert cells or not self.cells_io, (
+            "cells_io needs instance norm and spatial dims divisible by 4")
+        cin = 2 if self.cells_io else 0
+        h = x
+        if self.cells_io:
+            h = regroup_cells(h, 4, 2, x.shape[-1] // 64)
         h = Conv3D(self.ngf, 7, use_bias=bias, kernel_init=ki, dtype=self.dtype,
-                   same_edge_pad=True, cells_out=cells)(x)
+                   same_edge_pad=True, cells_in=cin,
+                   cells_out=(2 if cells else 0))(h)
         if cells:
             h = instance_norm_act_grouped(h, 8, 1e-5, "relu")
         else:
@@ -302,7 +345,7 @@ class ResnetGenerator3D(nn.Module):
             mult = 2 ** i
             h = Conv3D(self.ngf * mult * 2, 3, stride=2, padding=1, use_bias=bias,
                        kernel_init=ki, dtype=self.dtype,
-                       cells_in=(cells and i == 0))(h)
+                       cells_in=(2 if cells and i == 0 else 0))(h)
             h = _norm_act(h, self.norm, "relu", self.dtype, train)
         mult = 4
         for _ in range(self.n_blocks):
@@ -313,13 +356,15 @@ class ResnetGenerator3D(nn.Module):
             last = i == 1
             h = ConvTranspose3D(self.ngf * mult // 2, 3, stride=2, padding=1,
                                 output_padding=1, use_bias=bias, kernel_init=ki,
-                                dtype=self.dtype, cells_out=(cells and last))(h)
+                                dtype=self.dtype,
+                                cells_out=(2 if cells and last else 0))(h)
             if cells and last:
                 h = instance_norm_act_grouped(h, 8, 1e-5, "relu")
             else:
                 h = _norm_act(h, self.norm, "relu", self.dtype, train)
         h = Conv3D(self.output_nc, 7, use_bias=True, kernel_init=ki, dtype=self.dtype,
-                   same_edge_pad=True, cells_in=cells)(h)
+                   same_edge_pad=True, cells_in=(2 if cells else 0),
+                   cells_out=(4 if self.cells_io else 0))(h)
         return jnp.tanh(h)
 
 
@@ -473,7 +518,10 @@ class DynUNet3D(nn.Module):
 
 
 class NLayerDiscriminator3D(nn.Module):
-    """3D PatchGAN (reference :381-425)."""
+    """3D PatchGAN (reference :381-425). ``cells_io=True`` consumes S2D(4)
+    cell-domain inputs (the train step's internal format) — the first conv
+    regroups to f2 cells and runs the stride-2 cell remap; outputs and all
+    other layers are unchanged."""
 
     ndf: int = 32
     n_layers: int = 3
@@ -482,13 +530,15 @@ class NLayerDiscriminator3D(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    cells_io: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         ki = get_initializer(self.init_type, self.init_gain)
         bias = _use_bias(self.norm)
         h = Conv3D(self.ndf, 4, stride=2, padding=1, use_bias=True,
-                   kernel_init=ki, dtype=self.dtype)(x)
+                   kernel_init=ki, dtype=self.dtype,
+                   cells_in=(4 if self.cells_io else 0))(x)
         h = jax.nn.leaky_relu(h, 0.2)
         nf = 1
         for n in range(1, self.n_layers):
@@ -516,9 +566,14 @@ class PixelDiscriminator3D(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    cells_io: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.cells_io:
+            from ..ops.s2d import depth_to_space
+
+            x = depth_to_space(x, 4)  # tiny: per-voxel D input is C=1-ish
         ki = get_initializer(self.init_type, self.init_gain)
         bias = _use_bias(self.norm)
         h = Conv3D(self.ndf, 1, use_bias=True, kernel_init=ki, dtype=self.dtype)(x)

@@ -161,18 +161,28 @@ def conv3d_s2d(x: jax.Array, w: jax.Array, f: int = 4,
 
 
 def regroup_cells(xc: jax.Array, f_from: int, f_to: int, c: int) -> jax.Array:
-    """(N, D/f_from, ..., f_from^3*c) -> (N, D/f_to, ..., f_to^3*c): merge
-    r^3 = (f_to/f_from)^3 neighboring cells into one coarser cell. True
-    position i = f_to*C + f_from*b + p (b = within-group cell offset), so
-    the coarse parity is p' = f_from*b + p — one transpose, no full-res
-    intermediate."""
-    assert f_to % f_from == 0
-    r = f_to // f_from
+    """(N, D/f_from, ..., f_from^3*c) -> (N, D/f_to, ..., f_to^3*c).
+
+    Coarsening (f_to > f_from) merges r^3 = (f_to/f_from)^3 neighboring
+    cells: true position i = f_to*C + f_from*b + p (b = within-group cell
+    offset), so the coarse parity is p' = f_from*b + p. Refining
+    (f_to < f_from) is the inverse split. One transpose either way, no
+    full-res intermediate."""
     n, d, h, w, L = xc.shape
-    x = xc.reshape(n, d // r, r, h // r, r, w // r, r,
-                   f_from, f_from, f_from, c)
-    x = x.transpose(0, 1, 3, 5, 2, 7, 4, 8, 6, 9, 10)
-    return x.reshape(n, d // r, h // r, w // r, f_to ** 3 * c)
+    if f_to >= f_from:
+        assert f_to % f_from == 0
+        r = f_to // f_from
+        x = xc.reshape(n, d // r, r, h // r, r, w // r, r,
+                       f_from, f_from, f_from, c)
+        x = x.transpose(0, 1, 3, 5, 2, 7, 4, 8, 6, 9, 10)
+        return x.reshape(n, d // r, h // r, w // r, f_to ** 3 * c)
+    r = f_from // f_to
+    # parity p_from = f_to*?? : p_from = f_to-cell offset b and fine parity:
+    # p_from = r-split as (b, p_to) with p_from = f_to... (inverse of above:
+    # p_coarse = f_fine*b + p_fine, f_fine = f_to here)
+    x = xc.reshape(n, d, h, w, r, f_to, r, f_to, r, f_to, c)
+    x = x.transpose(0, 1, 4, 2, 6, 3, 8, 5, 7, 9, 10)
+    return x.reshape(n, d * r, h * r, w * r, f_to ** 3 * c)
 
 
 @lru_cache(maxsize=None)

@@ -70,6 +70,56 @@ def remap_weight_subpixel(w: jax.Array, p: int) -> Tuple[jax.Array, Tuple[int, i
     return wg.reshape(ku, ku, ku, ci, 8 * co), pad_lo, ku
 
 
+def _f4_from_bq_perm(co: int) -> np.ndarray:
+    """Permutation taking lanes (b_d,b_h,b_w,(q_d,q_h,q_w,co)) to the f4 cell
+    order ((p4_d,p4_h,p4_w),co) with p4 = 2b + q."""
+    src = np.arange(64 * co).reshape(2, 2, 2, 2, 2, 2, co)  # bd,bh,bw,qd,qh,qw,c
+    tgt = np.empty_like(src)
+    for bd in range(2):
+        for bh in range(2):
+            for bw in range(2):
+                for qd in range(2):
+                    for qh in range(2):
+                        for qw in range(2):
+                            p4 = ((2 * bd + qd) * 4 + (2 * bh + qh)) * 4 + (2 * bw + qw)
+                            tgt.reshape(64, co)[p4] = src[bd, bh, bw, qd, qh, qw]
+    return tgt.reshape(-1)
+
+
+def conv_transpose3d_subpixel_cells(xc: jax.Array, w: jax.Array,
+                                    padding: int = 1,
+                                    output_padding: int = 1) -> jax.Array:
+    """Stride-2 transposed conv, f2-cells in -> f4-cells out, with ZERO
+    activation relayout: the subpixel conv (a stride-1 conv over the output's
+    half grid) is itself cell-domain-remapped (ops/s2d.remap_weight_s2d), and
+    the output lane order (input-cell offset b, subpixel parity q, co) is
+    permuted to the f4 convention p4 = 2b + q on the WEIGHT's channel axis.
+
+    xc: (N, S, S, S, 8*ci) = S2D(2) cells of the (2S)^3 input grid;
+    returns (N, S, S, S, 64*co) = S2D(4) cells of the (4S)^3 output."""
+    from .s2d import remap_weight_s2d
+
+    k = w.shape[0]
+    ci, co = w.shape[3], w.shape[4]
+    assert (k + output_padding - 2 * padding) == 2
+    wsub, pad_lo, ku = remap_weight_subpixel(w, padding)  # (ku.., ci, 8co)
+    # cell-domain-ify the stride-1 subpixel conv with pads (pad_lo, pad_hi):
+    # pl whole zero cells on the left; fold the residual shift into the taps
+    pl = -(-pad_lo // 2)
+    shift = 2 * pl - pad_lo
+    wz = jnp.pad(wsub, ((shift, 0),) * 3 + ((0, 0), (0, 0))) if shift else wsub
+    wp = remap_weight_s2d(wz, 2)  # (ku2.., 8ci, 8*(8co))
+    ku2 = wp.shape[0]
+    pr = ku2 - 1 - pl  # right zero cells so out cells == in cells
+    perm = _f4_from_bq_perm(co)
+    wp = wp[..., perm]
+    out = jax.lax.conv_general_dilated(
+        xc, wp, (1, 1, 1), [(pl, pr)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=xc.dtype)
+    return out
+
+
 def conv_transpose3d_subpixel(x: jax.Array, w: jax.Array, padding: int = 1,
                               output_padding: int = 1,
                               d2s: bool = True) -> jax.Array:

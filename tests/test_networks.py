@@ -105,3 +105,37 @@ def test_normal_init_statistics():
     big = np.concatenate([k for k in kernels if k.size > 1000])
     assert abs(big.std() - 0.02) < 0.002
     assert abs(big.mean()) < 0.002
+
+
+def test_cells_io_matches_true_layout():
+    """ResnetGenerator3D/NLayerDiscriminator3D cells_io variants compute the
+    same function on S2D(4)-packed tensors with the SAME parameters."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mra_gan_tpu.models.networks import (
+        NLayerDiscriminator3D,
+        PixelDiscriminator3D,
+        ResnetGenerator3D,
+    )
+    from mra_gan_tpu.ops.s2d import depth_to_space, space_to_depth
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 16, 1)
+                    .astype(np.float32))
+    g = ResnetGenerator3D(output_nc=1, ngf=4, n_blocks=2)
+    params = g.init(jax.random.PRNGKey(0), x, train=False)
+    want = g.apply(params, x, train=False)
+    gc = g.clone(cells_io=True)
+    got = depth_to_space(gc.apply(params, space_to_depth(x, 4), train=False), 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    for cls, kw in ((NLayerDiscriminator3D, dict(ndf=4, n_layers=2)),
+                    (PixelDiscriminator3D, dict(ndf=4))):
+        d = cls(**kw)
+        dp = d.init(jax.random.PRNGKey(1), x, train=False)
+        want = d.apply(dp, x, train=False)
+        got = d.clone(cells_io=True).apply(dp, space_to_depth(x, 4), train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
