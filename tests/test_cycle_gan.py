@@ -159,3 +159,18 @@ def test_batch_norm_config_runs():
     a = jax.random.uniform(jax.random.PRNGKey(1), (2, *patch, 1))
     state, m = step(state, a, a, jax.random.PRNGKey(2), 2e-4)
     assert all(np.isfinite(float(v)) for v in m.values())
+
+
+def test_uses_cells_gate():
+    """The internal cell-domain format engages only for resnet generators
+    with instance norm and 4-divisible patches; the batch-norm/true-layout
+    fallback is exercised by test_batch_norm_config_runs. (Patches not
+    divisible by 4 are architecturally invalid for the resnet generator —
+    the reference's ConvTranspose3d chain also changes the size then.)"""
+    from mra_gan_tpu.models.cycle_gan import CycleGANConfig
+
+    assert CycleGANConfig().uses_cells((64, 64, 64))
+    assert CycleGANConfig().uses_cells((16, 16, 16))
+    assert not CycleGANConfig().uses_cells((18, 18, 18))
+    assert not CycleGANConfig(norm="batch").uses_cells((64, 64, 64))
+    assert not CycleGANConfig(net_g="unet_custom").uses_cells((64, 64, 64))
