@@ -51,6 +51,7 @@ from ..ops.s2d import (
 from ..ops.subpixel import (
     conv_transpose3d_subpixel,
     conv_transpose3d_subpixel_cells,
+    conv_transpose3d_subpixel_f4,
 )
 
 Dtype = Any
@@ -197,6 +198,10 @@ class ConvTranspose3D(nn.Module):
             assert subpixel_ok and self.cells_in == 2
             y = conv_transpose3d_subpixel_cells(xc, kc, p[0], op[0])
             tile = 64  # f4-cell lanes (p4, c)
+        elif subpixel_ok and self.cells_out == 4:
+            # true in -> f4 cells out as one stride-2 blocked subpixel conv
+            y = conv_transpose3d_subpixel_f4(xc, kc, p[0], op[0])
+            tile = 64
         elif subpixel_ok:
             y = conv_transpose3d_subpixel(xc, kc, p[0], op[0],
                                           d2s=(self.cells_out == 0))
@@ -354,6 +359,9 @@ class ResnetGenerator3D(nn.Module):
         for i in range(2):  # upsample
             mult = 2 ** (2 - i)
             last = i == 1
+            # (up2 emitting f4 cells directly via the stride-2 blocked
+            # subpixel remap measured WORSE — 83 vs 77 ms — the stride-2
+            # conv's FLOP blowup and backward exceed the regroup savings)
             h = ConvTranspose3D(self.ngf * mult // 2, 3, stride=2, padding=1,
                                 output_padding=1, use_bias=bias, kernel_init=ki,
                                 dtype=self.dtype,

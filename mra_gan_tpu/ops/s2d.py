@@ -194,6 +194,11 @@ def conv3d_s2d_cells(xc: jax.Array, w: jax.Array, f: int = 4,
     return depth_to_space(out, f) if d2s else out
 
 
+# (A mixed-domain head VJP — dw on the f2 graph — was tried and measured
+# WORSE: the f2 weight-grad's 8-lane output hits the same slow-fusion
+# pathology as the stem dx, 85 vs 77 ms/step. Removed.)
+
+
 def conv3d_s2d(x: jax.Array, w: jax.Array, f: int = 4,
                pad_mode: str = "edge") -> jax.Array:
     """Exact stride-1 'same' conv (k odd) with ``pad_mode`` boundary,

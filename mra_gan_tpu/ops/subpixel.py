@@ -120,6 +120,56 @@ def conv_transpose3d_subpixel_cells(xc: jax.Array, w: jax.Array,
     return out
 
 
+def conv_transpose3d_subpixel_f4(x: jax.Array, w: jax.Array,
+                                 padding: int = 1,
+                                 output_padding: int = 1) -> jax.Array:
+    """Stride-2 transposed conv, TRUE-layout input -> S2D(4) cell output,
+    as ONE stride-2 conv (no activation relayout): block pairs of subpixel
+    grid positions into the output channels. z[2C+b, (q,co)] =
+    sum_u Wsub[u] x[2C + b - pad_lo + u]  =>  a stride-2 conv with taps
+    tau = b + u (span ku+1) and channels (b, q, co), lane-permuted to the
+    f4 convention p4 = 2b + q.
+
+    x: (N, S, S, S, ci) -> (N, S/2, S/2, S/2, 64*co) (cells of the (2S)^3
+    output). Costs (ku+1)^3/(2*ku^3/..) more MXU FLOPs than the plain
+    subpixel conv in exchange for zero relayouts."""
+    k = w.shape[0]
+    ci, co = w.shape[3], w.shape[4]
+    assert (k + output_padding - 2 * padding) == 2
+    wsub, pad_lo, ku = remap_weight_subpixel(w, padding)  # (ku.., ci, 8co)
+    # block: tau = b + u, b in {0,1}: W3[tau, ci, (b, qco)] = wsub[tau-b]
+    kk = ku + 1
+    T = np.zeros((kk, 2), np.int32)
+    M = np.zeros((kk, 2), bool)
+    for tau in range(kk):
+        for b in range(2):
+            u = tau - b
+            if 0 <= u < ku:
+                T[tau, b] = u
+                M[tau, b] = True
+    from .s2d import _onehot
+
+    A = _onehot(T, M, ku, w.dtype)  # (kk*2, ku)
+    w3 = jnp.einsum("at,bs,cr,tsrio->abcio", A, A, A, wsub)
+    w3 = w3.reshape(kk, 2, kk, 2, kk, 2, ci, 8 * co)
+    # (tau_d,b_d, .., ci, qco) -> (tau_d,tau_h,tau_w, ci, b_d,b_h,b_w, qco)
+    w3 = w3.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    w3 = w3.reshape(kk, kk, kk, ci, 64 * co)
+    perm = _f4_from_bq_perm(co)
+    w3 = w3[..., perm]
+    # input coverage: position 2C + b - pad_lo + u = 2C + tau - pad_lo;
+    # tau in [0, kk) -> pads (pad_lo, pad_hi) with stride 2
+    n, d, h, wd, _ = x.shape
+    pad_hi = kk - 1 - pad_lo - 1  # last block start 2(S/2-1), tau max kk-1
+    need_hi = (d - 2) + (kk - 1) - pad_lo - (d - 1)
+    pad_hi = max(need_hi, 0)
+    out = jax.lax.conv_general_dilated(
+        x, w3, (2, 2, 2), [(pad_lo, pad_hi)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)
+    return out
+
+
 def conv_transpose3d_subpixel(x: jax.Array, w: jax.Array, padding: int = 1,
                               output_padding: int = 1,
                               d2s: bool = True) -> jax.Array:

@@ -173,3 +173,22 @@ def test_subpixel_cells_out_matches_d2s():
     cells = conv_transpose3d_subpixel(x, w, 1, 1, d2s=False)
     np.testing.assert_array_equal(np.asarray(depth_to_space(cells, 2)),
                                   np.asarray(full))
+
+
+def test_subpixel_f4_direct_exact():
+    """conv_transpose3d_subpixel_f4: true in -> f4 cells in one stride-2
+    blocked conv (available via ConvTranspose3D(cells_out=4); not used by
+    the default generator — measured slower there, see CLAUDE.md)."""
+    from mra_gan_tpu.ops.s2d import space_to_depth
+    from mra_gan_tpu.ops.subpixel import (
+        conv_transpose3d_subpixel,
+        conv_transpose3d_subpixel_f4,
+    )
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, 8, 8, 8, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 3, 2).astype(np.float32) * 0.1)
+    ref = space_to_depth(conv_transpose3d_subpixel(x, w, 1, 1), 4)
+    got = conv_transpose3d_subpixel_f4(x, w, 1, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
