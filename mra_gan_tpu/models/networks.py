@@ -33,7 +33,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv import conv3d, conv_transpose3d, replication_pad3d
+from ..ops.conv import (
+    conv3d,
+    conv_transpose3d,
+    extend_sharded_d,
+    replication_pad3d,
+)
 from ..ops.init import get_initializer
 from ..ops.norm import (
     instance_norm,
@@ -91,12 +96,29 @@ class Conv3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..core.spatial_ctx import spatial_shard_info
+
         k = _canon(self.kernel_size)
         cin = x.shape[-1] // (self.cells_in ** 3 if self.cells_in else 1)
         init = self.kernel_init or get_initializer("normal")
         kernel = self.param("kernel", init, (*k, cin, self.features), jnp.float32)
         xc = x.astype(self.dtype)
         kc = kernel.astype(self.dtype)
+        if spatial_shard_info() is not None:
+            # depth-sharded volume: halo-exchange padding, direct convs
+            assert not (self.cells_in or self.cells_out)
+            if self.same_edge_pad:
+                half = (k[0] - 1) // 2
+                y = conv3d(replication_pad3d(xc, half), kc, self.stride, 0)
+            else:
+                p = int(self.padding)
+                xe = extend_sharded_d(xc, p, p, "zero")
+                y = conv3d(xe, kc, self.stride, [(0, 0), (p, p), (p, p)])
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                y = y + bias.astype(self.dtype)
+            return y
         if self.same_edge_pad:
             half = (k[0] - 1) // 2
             if self.cells_in or self.cells_out:
@@ -181,6 +203,10 @@ class ConvTranspose3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..core.spatial_ctx import spatial_shard_info
+        from ..ops.s2d import depth_to_space
+        from ..ops.subpixel import remap_weight_subpixel
+
         k = _canon(self.kernel_size)
         cin = x.shape[-1] // (self.cells_in ** 3 if self.cells_in else 1)
         init = self.kernel_init or get_initializer("normal")
@@ -194,6 +220,19 @@ class ConvTranspose3D(nn.Module):
         # 3.4x fewer FLOPs and MXU-friendly shapes vs the input-dilated conv.
         subpixel_ok = (s == (2, 2, 2) and len(set(p)) == 1 and len(set(op)) == 1
                        and k[0] + op[0] - 2 * p[0] == 2)
+        if spatial_shard_info() is not None:
+            # depth-sharded: subpixel conv with depth halos, local interleave
+            assert subpixel_ok and not (self.cells_in or self.cells_out)
+            wp, pad_lo, ku = remap_weight_subpixel(kc, p[0])
+            pad_hi = ku - 1 - pad_lo
+            xe = extend_sharded_d(xc, pad_lo, pad_hi, "zero")
+            y = conv3d(xe, wp, 1, [(0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi)])
+            y = depth_to_space(y, 2)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                y = y + bias.astype(self.dtype)
+            return y
         if self.cells_in:
             assert subpixel_ok and self.cells_in == 2
             y = conv_transpose3d_subpixel_cells(xc, kc, p[0], op[0])
@@ -329,10 +368,13 @@ class ResnetGenerator3D(nn.Module):
         # S2D/D2S relayouts between reformulated convs and the 4x
         # lane-padding tax XLA puts on C<128 full-res elementwise ops
         # (127 -> ~75 ms/step on v5e with the rest of the cell plumbing).
+        from ..core.spatial_ctx import spatial_shard_info
+
         true_spatial = [int(s) * (4 if self.cells_io else 1)
                         for s in x.shape[1:4]]
         cells = (self.norm == "instance"
-                 and all(s % 4 == 0 for s in true_spatial))
+                 and all(s % 4 == 0 for s in true_spatial)
+                 and spatial_shard_info() is None)
         assert cells or not self.cells_io, (
             "cells_io needs instance norm and spatial dims divisible by 4")
         cin = 2 if self.cells_io else 0

@@ -93,13 +93,56 @@ def conv_transpose3d(
     )
 
 
+def extend_sharded_d(x: jax.Array, lo: int, hi: int,
+                     boundary: str = "edge") -> jax.Array:
+    """Extend the depth axis of a depth-sharded (N, D/n, H, W, C) shard by
+    ``lo``/``hi`` rows: interior rows come from the mesh neighbors over ICI
+    (``ppermute``), global-boundary rows replicate the edge ('edge') or are
+    zero ('zero') — the sharded equivalent of padding the full volume.
+    Requires lo, hi <= local shard depth. Only valid while tracing inside
+    core.spatial_ctx.spatial_sharding."""
+    from ..core.spatial_ctx import spatial_shard_info
+
+    info = spatial_shard_info()
+    assert info is not None, "extend_sharded_d needs spatial_sharding()"
+    axis, n = info
+    idx = lax.axis_index(axis)
+    parts = []
+    if lo:
+        from_above = lax.ppermute(x[:, -lo:], axis,
+                                  [(i, i + 1) for i in range(n - 1)])
+        if boundary == "edge":
+            bound = jnp.broadcast_to(x[:, :1], from_above.shape)
+        else:
+            bound = jnp.zeros_like(from_above)
+        parts.append(jnp.where(idx == 0, bound, from_above))
+    parts.append(x)
+    if hi:
+        from_below = lax.ppermute(x[:, :hi], axis,
+                                  [(i + 1, i) for i in range(n - 1)])
+        if boundary == "edge":
+            bound = jnp.broadcast_to(x[:, -1:], from_below.shape)
+        else:
+            bound = jnp.zeros_like(from_below)
+        parts.append(jnp.where(idx == n - 1, bound, from_below))
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
+
+
 def replication_pad3d(x: jax.Array, pad: IntOr3) -> jax.Array:
     """Edge-replicate padding on the three spatial dims of NDHWC.
 
     Equivalent of torch nn.ReplicationPad3d (reference
-    models/networks3D.py:185,211,233).
+    models/networks3D.py:185,211,233). Under spatial_sharding, the depth
+    padding becomes a halo exchange with edge handling at the global ends.
     """
+    from ..core.spatial_ctx import spatial_shard_info
+
     p = _triple(pad)
+    if spatial_shard_info() is not None:
+        x = extend_sharded_d(x, p[0], p[0], "edge")
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (p[1], p[1]), (p[2], p[2]), (0, 0)),
+            mode="edge")
     return jnp.pad(
         x,
         ((0, 0), (p[0], p[0]), (p[1], p[1]), (p[2], p[2]), (0, 0)),

@@ -21,6 +21,19 @@ import jax.numpy as jnp
 SPATIAL_AXES = (1, 2, 3)  # D,H,W of NDHWC
 
 
+def _spatial_mean(t: jax.Array, dtype=None) -> jax.Array:
+    """Mean over the spatial dims; under core.spatial_ctx.spatial_sharding
+    the local mean is pmean-ed across the depth-shard axis (uniform shards),
+    giving exact global per-(sample, channel) statistics."""
+    from ..core.spatial_ctx import spatial_shard_info
+
+    m = jnp.mean(t, axis=SPATIAL_AXES, keepdims=True, dtype=dtype)
+    info = spatial_shard_info()
+    if info is not None:
+        m = jax.lax.pmean(m, info[0])
+    return m
+
+
 def instance_norm(
     x: jax.Array,
     eps: float = 1e-5,
@@ -29,9 +42,8 @@ def instance_norm(
 ) -> jax.Array:
     """Per-sample, per-channel normalization over the spatial dims.
     Stats accumulate in float32; elementwise stays in the input dtype."""
-    mean = jnp.mean(x, axis=SPATIAL_AXES, keepdims=True, dtype=jnp.float32)
-    var = jnp.mean(jnp.square(x - mean.astype(x.dtype)), axis=SPATIAL_AXES,
-                   keepdims=True, dtype=jnp.float32)
+    mean = _spatial_mean(x, dtype=jnp.float32)
+    var = _spatial_mean(jnp.square(x - mean.astype(x.dtype)), dtype=jnp.float32)
     y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(var + eps).astype(x.dtype)
     if scale is not None:
         y = y * scale.astype(x.dtype)
@@ -93,9 +105,8 @@ def _in_fwd_core(x, eps):
     # input dtype (an f32 upcast would double the HBM traffic of every
     # norm's forward AND materialize f32 cotangent-sized tensors in the
     # backward — measured ~3 ms/step at bf16 on v5e).
-    mean = jnp.mean(x, axis=SPATIAL_AXES, keepdims=True, dtype=jnp.float32)
-    var = jnp.mean(jnp.square((x - mean.astype(x.dtype))), axis=SPATIAL_AXES,
-                   keepdims=True, dtype=jnp.float32)
+    mean = _spatial_mean(x, dtype=jnp.float32)
+    var = _spatial_mean(jnp.square(x - mean.astype(x.dtype)), dtype=jnp.float32)
     rstd = jax.lax.rsqrt(var + eps)
     return (x - mean.astype(x.dtype)) * rstd.astype(x.dtype), mean, rstd
 
@@ -110,8 +121,8 @@ def _in_vjp_bwd(eps, act, slope, res, g):
     x, mean, rstd = res
     z = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
     gp = g * _act_grad(z, act, slope).astype(g.dtype)
-    gmean = jnp.mean(gp, axis=SPATIAL_AXES, keepdims=True, dtype=jnp.float32)
-    gzmean = jnp.mean(gp * z, axis=SPATIAL_AXES, keepdims=True, dtype=jnp.float32)
+    gmean = _spatial_mean(gp, dtype=jnp.float32)
+    gzmean = _spatial_mean(gp * z, dtype=jnp.float32)
     dx = rstd.astype(g.dtype) * (gp - gmean.astype(g.dtype)
                                  - z * gzmean.astype(g.dtype))
     return (dx.astype(g.dtype),)
@@ -200,10 +211,13 @@ def instance_norm_act_auto(
 
     import jax as _jax
 
+    from ..core.spatial_ctx import spatial_shard_info
+
     use_pallas = (
         os.environ.get("MRA_GAN_TPU_PALLAS_NORM") == "1"
         and _jax.default_backend() not in ("cpu",)
         and x.shape[-1] >= 64
+        and spatial_shard_info() is None
     )
     if use_pallas:
         from .pallas.instance_norm import instance_norm_act_tpu

@@ -24,6 +24,11 @@ class TestOptions(BaseOptions):
         # --model_suffix is injected by the 'test' model's
         # modify_commandline_options hook (models/test.py), like the
         # reference's dynamic flag registration.
+        parser.add_argument("--spatial_shard", action="store_true",
+                            help="decode the WHOLE volume in one pass with "
+                                 "the volume depth-sharded across all devices "
+                                 "(halo-exchange convs; resnet generators) "
+                                 "instead of sliding-window patching")
         parser.add_argument("--pad_mode", type=str, default="reference",
                             choices=["reference", "symmetric"],
                             help="sub-patch volume padding: 'reference' "

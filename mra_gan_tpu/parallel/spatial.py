@@ -113,6 +113,45 @@ def sharded_sliding_window(
     return out[: vshape[0], : vshape[1], : vshape[2]]
 
 
+def sharded_generator_apply(
+    mesh: Mesh,
+    net,
+    params,
+    volume: np.ndarray,
+    axis_name: str = DATA_AXIS,
+) -> np.ndarray:
+    """Single-pass full-volume generator forward with the volume
+    DEPTH-SHARDED across the mesh — for volumes too large for one chip's HBM
+    (the alternative to sliding-window patching; no seams, exact).
+
+    Every conv's depth padding becomes an ICI halo exchange and every
+    instance norm pmeans its statistics across the shard axis
+    (core/spatial_ctx.py + ops/conv.extend_sharded_d + ops/norm), so the
+    result is bit-equivalent to the unsharded forward. volume: (D, H, W)
+    float in the generator's input range; D must be divisible by 4*n_devices
+    with shard depth >= 4 (two stride-2 halvings + the 7^3 stem halo)."""
+    from ..core.spatial_ctx import spatial_sharding
+
+    n = mesh.shape[axis_name]
+    d = volume.shape[0]
+    assert d % (4 * n) == 0 and d // n >= 4, (
+        f"depth {d} must be divisible by 4*{n} with shard depth >= 4")
+    from jax.sharding import NamedSharding
+
+    x = jnp.asarray(volume, jnp.float32)[None, ..., None]
+    x = jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+
+    with spatial_sharding(axis_name, n):
+        @partial(shard_map, mesh=mesh, in_specs=(P(None, axis_name), P()),
+                 out_specs=P(None, axis_name), check_vma=False)
+        def run(xs, p):
+            return net.apply(p, xs, train=False)
+
+        out = jax.jit(run)(x, params)
+    return np.asarray(out)[0, ..., 0]
+
+
 def halo_conv3d(mesh: Mesh, x_sharded: jax.Array, kernel: jax.Array,
                 axis_name: str = DATA_AXIS) -> jax.Array:
     """'Same' (zero-pad) conv over a depth-sharded (N, D, H, W, C) volume.

@@ -70,7 +70,23 @@ def inference(opt):
 
     # --- decode ---
     t0 = time.time()
-    if opt.data_parallel and len(jax.devices()) > 1:
+    if opt.spatial_shard and len(jax.devices()) > 1:
+        # single-pass whole-volume forward, volume depth-sharded over the
+        # mesh with halo-exchange convs (no patching, no seams)
+        from mra_gan_tpu.core.mesh import make_mesh
+        from mra_gan_tpu.parallel.spatial import sharded_generator_apply
+
+        mesh = make_mesh()
+        n = mesh.shape["data"]
+        g_a, g_b, _, _ = cfg.build_nets()
+        net = {"_A": g_a, "_B": g_b}[opt.model_suffix]
+        shp = vol.shape
+        mult = (4 * n, 4, 4)
+        pads = [(-len_ % m) for len_, m in zip(shp, mult)]
+        volp = np.pad(vol, [(0, p) for p in pads], mode="edge")
+        out = sharded_generator_apply(mesh, net, params, volp)
+        out = out[: shp[0], : shp[1], : shp[2]]
+    elif opt.data_parallel and len(jax.devices()) > 1:
         from mra_gan_tpu.core.mesh import make_mesh
         from mra_gan_tpu.parallel.spatial import sharded_sliding_window
 

