@@ -46,6 +46,7 @@ from ..ops.norm import (
     instance_norm_act_grouped,
 )
 from ..ops.s2d import (
+    conv3d_head_stride2_cells,
     conv3d_s2d,
     conv3d_s2d_cells,
     conv3d_s2d_stride2,
@@ -128,16 +129,30 @@ class Conv3D(nn.Module):
                 # (stem at f=4 measured WORSE overall — the extra f4<->f2
                 # regroups outweigh the friendlier backward lanes)
                 f = 4 if self.features < 16 else 2
-                if self.cells_in == 0:
-                    xcc = space_to_depth(xc, f)
-                elif self.cells_in != f:
-                    xcc = regroup_cells(xc, self.cells_in, f, cin)
+                if f == 4 and k[0] == k[1] == k[2] and k[0] % 2 == 1:
+                    # head: relayout-free stride-2 conv on f2 cells
+                    # (ops/s2d.py conv3d_head_stride2_cells).
+                    if self.cells_in == 0:
+                        xcc = space_to_depth(xc, 2)
+                    elif self.cells_in != 2:
+                        xcc = regroup_cells(xc, self.cells_in, 2, cin)
+                    else:
+                        xcc = xc
+                    y = conv3d_head_stride2_cells(xcc, kc,
+                                                  d2s=(self.cells_out == 0))
+                    if self.cells_out not in (0, 4):
+                        y = regroup_cells(y, 4, self.cells_out, self.features)
                 else:
-                    xcc = xc
-                y = conv3d_s2d_cells(xcc, kc, f=f, pad_mode="edge",
-                                     d2s=(self.cells_out == 0))
-                if self.cells_out not in (0, f):
-                    y = regroup_cells(y, f, self.cells_out, self.features)
+                    if self.cells_in == 0:
+                        xcc = space_to_depth(xc, f)
+                    elif self.cells_in != f:
+                        xcc = regroup_cells(xc, self.cells_in, f, cin)
+                    else:
+                        xcc = xc
+                    y = conv3d_s2d_cells(xcc, kc, f=f, pad_mode="edge",
+                                         d2s=(self.cells_out == 0))
+                    if self.cells_out not in (0, f):
+                        y = regroup_cells(y, f, self.cells_out, self.features)
             else:
                 f = _s2d_factor(k, self.stride, cin, self.features, x.shape[1:4])
                 if f:

@@ -199,6 +199,131 @@ def conv3d_s2d_cells(xc: jax.Array, w: jax.Array, f: int = 4,
 # pathology as the stem dx, 85 vs 77 ms/step. Removed.)
 
 
+# ---------------------------------------------------------------------------
+# stride-2 head conv: S2D(2) cells in -> S2D(4) cells out with no activation
+# relayout.
+#
+# The f4-domain head path (regroup f2->f4, pad, 3^3 VALID conv with 2048->64
+# lanes) was the most expensive corner of the train step on v5e: the f2->f4
+# regroup is a LANE relayout XLA lowers as slow T(2,128) copy chains
+# (~4.7 ms/step across the 6 generator applies), and the f4 dW fusions run at
+# ~55 TF/s on a 5x-blown-up FLOP count (~3.7 ms/step). Here the parity split
+# folds into the conv itself: one stride-2 VALID conv over the padded f2-cell
+# grid with a (2q + r - po)-tap remapped kernel. Exact (one-hot remap).
+#
+# (A batch_group_count=8 parity-split formulation — cell-parity classes on
+# the batch axis, sublane-only splits — was measured WORSE: XLA lowers the
+# grouped conv with batch-1-per-group as T(2,128) fusions, 79 vs 74 ms/step.
+# Removed.)
+
+
+@lru_cache(maxsize=None)
+def _head_stride2_map(k: int):
+    """Per-axis tap table for the stride-2 head form: out o = 4O + po reads
+    padded-input cell 2O + q, parity r; tap t = 2q + r - po - shift."""
+    half = (k - 1) // 2
+    pc = -(-half // 2)
+    shift = 2 * pc - half
+    qmax = (3 + (k - 1) + shift) // 2
+    q = np.arange(qmax + 1)[:, None, None]
+    r = np.arange(2)[None, :, None]
+    po = np.arange(4)[None, None, :]
+    t = 2 * q + r - po - shift
+    valid = (t >= 0) & (t < k)
+    return np.where(valid, t, 0).astype(np.int32), valid, qmax + 1, pc
+
+
+def remap_weight_head_stride2(w: jax.Array) -> jax.Array:
+    """(k,k,k,ci,co) -> (qs,qs,qs, 8*ci, 64*co) for the stride-2 head conv
+    on the f2-cell grid. Lane orders: in (rd,rh,rw,ci) = S2D(2), out
+    (pod,poh,pow,co) = S2D(4)."""
+    k, _, _, ci, co = w.shape
+    T, valid, qs, _ = _head_stride2_map(k)
+    A = _onehot(T, valid, k, w.dtype)  # (qs*2*4, k)
+    wg = jnp.einsum("at,bs,cr,tsrio->abcio", A, A, A, w)
+    wg = wg.reshape(qs, 2, 4, qs, 2, 4, qs, 2, 4, ci, co)
+    # (qd,rd,pod, qh,rh,poh, qw,rw,pow, ci, co)
+    # -> (qd,qh,qw, rd,rh,rw,ci, pod,poh,pow,co)
+    wg = wg.transpose(0, 3, 6, 1, 4, 7, 9, 2, 5, 8, 10)
+    return wg.reshape(qs, qs, qs, 8 * ci, 64 * co)
+
+
+def _head_s2_impl(xp: jax.Array, w: jax.Array) -> jax.Array:
+    Wq = remap_weight_head_stride2(w)
+    return jax.lax.conv_general_dilated(
+        xp, Wq, (2, 2, 2), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=xp.dtype)
+
+
+@jax.custom_vjp
+def _head_s2_conv(xp: jax.Array, w: jax.Array) -> jax.Array:
+    """Stride-2 head conv on padded f2 cells with a mixed-domain VJP.
+
+    Forward and dW use the stride-2 form (XLA's stride-2 rhs-transpose dW
+    measured 2.7 ms/step vs 3.7 for the f4 form on v5e); dx uses the f4 form
+    (XLA's native input-dilated dx of the stride-2 conv lowered as ~9.5
+    ms/step of T(2,128) fusions — the f4 VALID conv + one f4->f2 regroup is
+    ~3x cheaper)."""
+    return _head_s2_impl(xp, w)
+
+
+def _head_s2_fwd(xp, w):
+    return _head_s2_impl(xp, w), (xp, w)
+
+
+def _head_s2_bwd(res, gy):
+    xp, w = res
+    k = w.shape[0]
+    ci, co = w.shape[3], w.shape[4]
+    _, vjp_w = jax.vjp(lambda W: _head_s2_impl(xp, W), w)
+    (dw,) = vjp_w(gy)
+
+    # dx in the f4 domain: y = VALID-conv(xp_f4, W4) with W4 the f4 remap of
+    # the shift-padded kernel, so dxp_f4 = VALID-conv(zeropad(gy, ku-1),
+    # flip(W4)^T); the f2 gradient is the regroup (a permutation, so its
+    # adjoint is the inverse regroup).
+    half = (k - 1) // 2
+    pad4 = 4 * int(np.ceil(half / 4))
+    _, _, _, pc = _head_stride2_map(k)
+    if 2 * pc != pad4 or any(s % 2 for s in xp.shape[1:4]):
+        # f2 and f4 padded grids only coincide for k=7 (pad 4 true either
+        # way); elsewhere fall back to XLA's native dx of the stride-2 form.
+        _, vjp_x = jax.vjp(lambda X: _head_s2_impl(X, w), xp)
+        (dxp,) = vjp_x(gy)
+        return dxp.astype(xp.dtype), dw
+    shift4 = pad4 - half
+    w4src = jnp.pad(w, ((shift4, 0),) * 3 + ((0, 0), (0, 0))) if shift4 else w
+    W4 = remap_weight_s2d(w4src, 4)  # (ku,ku,ku, 64*ci, 64*co)
+    ku = W4.shape[0]
+    WT = jnp.flip(W4, (0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    gyp = zero_pad_cells(gy, ku - 1)
+    dxp4 = _valid_cell_conv(gyp, WT)  # (N, half-cells.., 64*ci)
+    dxp = regroup_cells(dxp4, 4, 2, ci)
+    # (A Pallas kernel fusing this conv + the f4->f2 regroup ran at 0.45
+    # ms/elem — 3x faster than this pair in isolation — but its layout
+    # constraints destabilized XLA's global layout assignment: the head
+    # forward and the stem backward re-lowered 2-3x slower, 77.8 vs 73.6
+    # ms/step net. Measured dead end; keep the XLA pair.)
+    return dxp.astype(xp.dtype), dw
+
+
+_head_s2_conv.defvjp(_head_s2_fwd, _head_s2_bwd)
+
+
+def conv3d_head_stride2_cells(xc: jax.Array, w: jax.Array,
+                              d2s: bool = True) -> jax.Array:
+    """Head conv as ONE stride-2 VALID conv on the (edge-padded) f2-cell
+    grid: no activation relayout at all — the stride folds the cell-parity
+    split into the conv itself. xc: (N,S/2,S/2,S/2,8*ci); w (k,k,k,ci,co)."""
+    k = w.shape[0]
+    ci = w.shape[3]
+    _, _, _, pc = _head_stride2_map(k)
+    xp = edge_pad_cells(xc, 2, pc, ci)
+    y = _head_s2_conv(xp, w)
+    return depth_to_space(y, 4) if d2s else y
+
+
 def conv3d_s2d(x: jax.Array, w: jax.Array, f: int = 4,
                pad_mode: str = "edge") -> jax.Array:
     """Exact stride-1 'same' conv (k odd) with ``pad_mode`` boundary,

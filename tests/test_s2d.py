@@ -192,3 +192,36 @@ def test_subpixel_f4_direct_exact():
     got = conv_transpose3d_subpixel_f4(x, w, 1, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_head_stride2_cells_exact_and_grads():
+    """conv3d_head_stride2_cells (the generator-head fast path): forward
+    exactness vs conv3d_s2d and gradient parity for both the f4-domain dx
+    (k=7) and the autodiff fallback (k in {3,5})."""
+    import jax
+
+    from mra_gan_tpu.ops.s2d import (
+        conv3d_head_stride2_cells,
+        conv3d_s2d,
+        space_to_depth,
+    )
+
+    rng = np.random.RandomState(10)
+    for k, ci, co, s in [(7, 32, 1, 16), (7, 3, 2, 12), (5, 4, 1, 8), (3, 5, 3, 8)]:
+        x = jnp.asarray(rng.randn(1, s, s, s, ci).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, k, k, ci, co).astype(np.float32) * 0.1)
+        f = 4 if s % 4 == 0 else 2
+        ref_fn = lambda x, w: conv3d_s2d(x, w, f=f, pad_mode="edge")
+        new_fn = lambda x, w: conv3d_head_stride2_cells(space_to_depth(x, 2), w)
+        np.testing.assert_allclose(np.asarray(new_fn(x, w)),
+                                   np.asarray(ref_fn(x, w)),
+                                   rtol=1e-4, atol=1e-5)
+        loss_r = lambda x, w: jnp.sum(jnp.sin(ref_fn(x, w)))
+        loss_n = lambda x, w: jnp.sum(jnp.sin(new_fn(x, w)))
+        gr = jax.grad(loss_r, (0, 1))(x, w)
+        gn = jax.grad(loss_n, (0, 1))(x, w)
+        for a, b in zip(gr, gn):
+            scale = float(jnp.max(jnp.abs(a))) + 1e-6
+            np.testing.assert_allclose(np.asarray(b) / scale,
+                                       np.asarray(a) / scale,
+                                       rtol=0, atol=2e-4)
