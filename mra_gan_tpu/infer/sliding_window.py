@@ -53,6 +53,8 @@ def sliding_window_inference(
     stride_layer: int = 32,
     blend: str = "gaussian",
     batch: int = 4,
+    transfer_dtype=np.float32,
+    input_transfer_dtype=None,
 ) -> np.ndarray:
     """volume: (D, H, W) float32 in the generator's input range.
     generate_fn: jittable (B, pd, ph, pw, 1) -> (B, pd, ph, pw, 1).
@@ -63,12 +65,33 @@ def sliding_window_inference(
     of batched generator calls, then r^3 parity-class reshape-adds — no
     per-patch scatter (which copies the whole accumulator each iteration and
     dominated wall-clock: 24s -> ~patch-compute-bound for a 256^2x128
-    volume on v5e)."""
+    volume on v5e). With two or more depth rows the decode is additionally
+    STREAMED: the volume goes host->device in stride-thick depth chunks, each
+    row of patches is decoded as its input lands, and finished output chunks
+    are blended/divided on device and fetched while later rows still compute
+    — so PCIe/tunnel transfer overlaps decode instead of serializing
+    around one monolithic jit call.
+
+    transfer_dtype bounds only the HOST->DEVICE->HOST wire precision
+    (compute and blending stay float32 on device); default float32 is
+    bit-faithful. input_transfer_dtype (default: transfer_dtype) narrows
+    only the input leg: for a bfloat16-compute generator, jnp.bfloat16 here
+    is EXACT — the network's first op casts the input to bfloat16 anyway, so
+    pre-quantizing on the host changes nothing — while halving upload bytes.
+    transfer_dtype=np.float16 on the output leg is a pure ~5e-4 quantization
+    of the final [-1,1] values. (np.float16 on the INPUT leg is not
+    recommended: f16(x) != bf16(x), so the tiny input perturbation is
+    amplified by the network's instance norms into O(1e-2) output drift.)"""
     patch = tuple(int(p) for p in patch_size)
     strides = (int(stride_layer), int(stride_inplane), int(stride_inplane))
     if all(p % s == 0 for p, s in zip(patch, strides)):
+        if volume.shape[0] > patch[0]:
+            return _streaming_overlap_add(volume, generate_fn, patch, strides,
+                                          blend, batch, transfer_dtype,
+                                          input_transfer_dtype)
         return _overlap_add_inference(volume, generate_fn, patch, strides,
-                                      blend, batch)
+                                      blend, batch, transfer_dtype,
+                                      input_transfer_dtype)
     return _scan_inference(volume, generate_fn, patch, strides, blend, batch)
 
 
@@ -78,17 +101,39 @@ def sliding_window_inference(
 _DECODE_CACHE: dict = {}
 
 
-def _overlap_add_inference(volume, generate_fn, patch, strides, blend, batch):
-    vshape = volume.shape
-    # pad to a regular grid: size = patch + k*stride
+def _pad_geometry(vshape, patch, strides):
+    """Pad sizes to a regular grid (size = patch + k*stride), grid counts,
+    and per-axis overlap factors."""
     padded = []
     for v, p, s in zip(vshape, patch, strides):
         k = max(0, -(-(v - p) // s))
         padded.append(p + k * s)
-    vol = np.pad(volume.astype(np.float32),
-                 [(0, pd - v) for pd, v in zip(padded, vshape)])
     ns = [(pd - p) // s + 1 for pd, p, s in zip(padded, patch, strides)]
     rs = [p // s for p, s in zip(patch, strides)]
+    return padded, ns, rs
+
+
+def _weight_volume(patch, strides, blend, padded, starts, win):
+    """Overlap-add of the blend window at every start. Cached per geometry —
+    recomputing it was ~3 s of host time per 256x256x128 call, dwarfing the
+    ~0.8 s device decode."""
+    wkey = ("wsum", patch, strides, blend, tuple(padded), len(starts))
+    wsum = _DECODE_CACHE.get(wkey)
+    if wsum is None:
+        wsum = np.zeros(padded, np.float32)
+        for (a, b, c) in starts:
+            wsum[a:a + patch[0], b:b + patch[1], c:c + patch[2]] += win
+        _DECODE_CACHE[wkey] = wsum
+    return wsum
+
+
+def _overlap_add_inference(volume, generate_fn, patch, strides, blend, batch,
+                           transfer_dtype=np.float32, input_transfer_dtype=None):
+    in_dtype = transfer_dtype if input_transfer_dtype is None else input_transfer_dtype
+    vshape = volume.shape
+    padded, ns, rs = _pad_geometry(vshape, patch, strides)
+    vol = np.pad(np.asarray(volume).astype(in_dtype),
+                 [(0, pd - v) for pd, v in zip(padded, vshape)])
 
     starts = np.array([(a * strides[0], b * strides[1], c * strides[2])
                        for a in range(ns[0]) for b in range(ns[1])
@@ -100,24 +145,25 @@ def _overlap_add_inference(volume, generate_fn, patch, strides, blend, batch):
     starts_b = starts.reshape(-1, batch, 3)
 
     win = gaussian_window(patch) if blend == "gaussian" else np.ones(patch, np.float32)
+    wsum = _weight_volume(patch, strides, blend, padded, starts[:n], win)
 
-    # weight volume: overlap-add of the window at every start. Cached per
-    # geometry — recomputing it was ~3 s of host time per 256x256x128 call,
-    # dwarfing the ~0.8 s device decode.
-    wkey = ("wsum", patch, strides, blend, tuple(padded), n)
-    wsum = _DECODE_CACHE.get(wkey)
-    if wsum is None:
-        wsum = np.zeros(padded, np.float32)
-        for (a, b, c) in starts[:n]:
-            wsum[a:a + patch[0], b:b + patch[1], c:c + patch[2]] += win
-        _DECODE_CACHE[wkey] = wsum
+    # blending division runs on device (wsum cached there per geometry) so
+    # the result can travel in transfer_dtype
+    dwkey = ("dwsum", patch, strides, blend, tuple(padded), n)
+    dwsum = _DECODE_CACHE.get(dwkey)
+    if dwsum is None:
+        dwsum = jnp.asarray(np.maximum(wsum, 1e-8))
+        _DECODE_CACHE[dwkey] = dwsum
 
     key = ("oa", id(generate_fn), patch, strides, blend, batch,
-           tuple(padded), n)
+           tuple(padded), n, np.dtype(transfer_dtype).name,
+           np.dtype(in_dtype).name)
     decode = _DECODE_CACHE.get(key)
     if decode is None:
         @jax.jit
-        def decode(vol, starts_b, win):
+        def decode(vol, starts_b, win, dwsum):
+            vol = vol.astype(jnp.float32)
+
             def body(_, sb):
                 patches = jax.vmap(
                     lambda s: jax.lax.dynamic_slice(vol, (s[0], s[1], s[2]), patch)
@@ -140,13 +186,135 @@ def _overlap_add_inference(volume, generate_fn, patch, strides, blend, batch):
                         pad_cfg = [(off[i], padded[i] - off[i] - dense.shape[i])
                                    for i in range(3)]
                         acc = acc + jnp.pad(dense, pad_cfg)
-            return acc
+            return (acc / dwsum).astype(jnp.dtype(transfer_dtype))
 
         _DECODE_CACHE[key] = decode
 
-    acc = np.asarray(decode(jnp.asarray(vol), jnp.asarray(starts_b), jnp.asarray(win)))
-    out = acc / np.maximum(wsum, 1e-8)
+    out = np.asarray(decode(jnp.asarray(vol), jnp.asarray(starts_b),
+                            jnp.asarray(win), dwsum)).astype(np.float32)
     return out[: vshape[0], : vshape[1], : vshape[2]]
+
+
+def _streaming_overlap_add(volume, generate_fn, patch, strides, blend, batch,
+                           transfer_dtype=np.float32, input_transfer_dtype=None):
+    """Depth-streamed overlap-add decode.
+
+    The monolithic fast path serializes [H2D whole volume] -> [decode] ->
+    [D2H whole volume]; over PCIe (or this image's TPU tunnel) the transfers
+    rival the compute. Here the depth axis is cut into stride-thick chunks:
+    chunk k goes host->device asynchronously, each depth-row of patches
+    (rs[0] consecutive chunks) decodes as soon as its input lands, and output
+    chunk k — which only depends on rows k-rs[0]+1..k — is blended, divided
+    by the cached weight volume, and copied back while later rows are still
+    computing. All compute/accumulation is float32 on device; only the wire
+    format is transfer_dtype."""
+    in_dtype = transfer_dtype if input_transfer_dtype is None else input_transfer_dtype
+    vshape = volume.shape
+    padded, ns, rs = _pad_geometry(vshape, patch, strides)
+    sd, rsd, n_rows = strides[0], rs[0], ns[0]
+    m_chunks = padded[0] // sd
+
+    vol = np.pad(np.asarray(volume).astype(in_dtype),
+                 [(0, pd - v) for pd, v in zip(padded, vshape)])
+
+    # in-plane grid (z start is implicit per row)
+    starts2 = np.array([(b * strides[1], c * strides[2])
+                        for b in range(ns[1]) for c in range(ns[2])], np.int32)
+    n2 = len(starts2)
+    n2_pad = (-n2) % batch
+    if n2_pad:
+        starts2 = np.concatenate([starts2, np.zeros((n2_pad, 2), np.int32)])
+    starts2_b = starts2.reshape(-1, batch, 2)
+
+    win = gaussian_window(patch) if blend == "gaussian" else np.ones(patch, np.float32)
+    starts3 = np.array([(a * strides[0], b, c)
+                        for a in range(n_rows) for (b, c) in starts2[:n2]],
+                       np.int32)
+    wsum = _weight_volume(patch, strides, blend, padded, starts3, win)
+
+    geom = (patch, strides, blend, tuple(padded), batch,
+            np.dtype(transfer_dtype).name, np.dtype(in_dtype).name)
+
+    dwkey = ("stream-wsum", geom)
+    dwchunks = _DECODE_CACHE.get(dwkey)
+    if dwchunks is None:
+        dwchunks = [jnp.asarray(np.maximum(wsum[k * sd:(k + 1) * sd], 1e-8))
+                    for k in range(m_chunks)]
+        _DECODE_CACHE[dwkey] = dwchunks
+
+    rkey = ("stream-row", id(generate_fn), geom)
+    decode_row = _DECODE_CACHE.get(rkey)
+    if decode_row is None:
+        @jax.jit
+        def decode_row(chunks, starts2_b, win):
+            vol_row = jnp.concatenate(chunks, axis=0).astype(jnp.float32)
+
+            def body(_, sb):
+                patches = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        vol_row, (0, s[0], s[1]), patch)
+                )(sb)
+                out = generate_fn(patches[..., None])[..., 0].astype(jnp.float32)
+                return None, out * win
+
+            _, outs = jax.lax.scan(body, None, starts2_b)
+            outs = outs.reshape(-1, *patch)[:n2].reshape(ns[1], ns[2], *patch)
+
+            acc = jnp.zeros((patch[0], padded[1], padded[2]), jnp.float32)
+            for b in range(rs[1]):
+                for c in range(rs[2]):
+                    sel = outs[b::rs[1], c::rs[2]]
+                    m = sel.shape[:2]
+                    dense = sel.transpose(2, 0, 3, 1, 4).reshape(
+                        patch[0], m[0] * patch[1], m[1] * patch[2])
+                    off = (b * strides[1], c * strides[2])
+                    pad_cfg = [(0, 0)] + [
+                        (off[i], padded[i + 1] - off[i] - dense.shape[i + 1])
+                        for i in range(2)]
+                    acc = acc + jnp.pad(dense, pad_cfg)
+            return acc
+
+        _DECODE_CACHE[rkey] = decode_row
+
+    def combine_for(n_contrib):
+        ckey = ("stream-combine", geom, n_contrib)
+        fn = _DECODE_CACHE.get(ckey)
+        if fn is None:
+            @partial(jax.jit, static_argnums=2)
+            def fn(rows, dw, offs):
+                acc = rows[0][offs[0] * sd:(offs[0] + 1) * sd]
+                for r, o in zip(rows[1:], offs[1:]):
+                    acc = acc + r[o * sd:(o + 1) * sd]
+                return (acc / dw).astype(jnp.dtype(transfer_dtype))
+
+            _DECODE_CACHE[ckey] = fn
+        return fn
+
+    # async pipeline: H2D chunks, rows as inputs land, combined output chunks
+    # D2H while later rows compute. Dispatch order interleaves compute with
+    # both transfer directions.
+    dchunks = [jax.device_put(vol[k * sd:(k + 1) * sd]) for k in range(m_chunks)]
+    dstarts = jax.device_put(starts2_b)
+    dwin = jax.device_put(win)
+
+    rows = [None] * n_rows
+    outs = []
+    for k in range(m_chunks):
+        contrib = [a for a in range(max(0, k - rsd + 1), min(k, n_rows - 1) + 1)]
+        for a in contrib:
+            if rows[a] is None:
+                rows[a] = decode_row(tuple(dchunks[a:a + rsd]), dstarts, dwin)
+        fn = combine_for(len(contrib))
+        out = fn(tuple(rows[a] for a in contrib), dwchunks[k],
+                 tuple(k - a for a in contrib))
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        outs.append(out)
+
+    full = np.concatenate([np.asarray(o) for o in outs], axis=0)
+    return full[: vshape[0], : vshape[1], : vshape[2]].astype(np.float32)
 
 
 def _scan_inference(volume, generate_fn, patch, strides, blend, batch):

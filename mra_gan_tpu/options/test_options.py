@@ -39,5 +39,14 @@ class TestOptions(BaseOptions):
         parser.add_argument("--blend", type=str, default="gaussian",
                             choices=["gaussian", "uniform"],
                             help="patch overlap blending window")
+        parser.add_argument("--wire", type=str, default="exact",
+                            choices=["exact", "f32", "f16"],
+                            help="host<->device wire precision for the "
+                                 "streamed decode. 'exact': bfloat16 upload "
+                                 "(bit-exact for the bf16 generator) + "
+                                 "float32 download; 'f32': float32 both "
+                                 "ways; 'f16': bfloat16 upload + float16 "
+                                 "download (~5e-4 output quantization, "
+                                 "fastest)")
         parser.set_defaults(model="test")
         return parser

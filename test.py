@@ -95,6 +95,14 @@ def inference(opt):
             stride_inplane=opt.stride_inplane, stride_layer=opt.stride_layer,
             blend=opt.blend)
     else:
+        # bfloat16 upload is only a no-op when the generator computes in
+        # bfloat16 (its first op casts the input anyway); under
+        # --precision float32 'exact' must upload float32
+        bf16_net = getattr(opt, "precision", "bfloat16") == "bfloat16"
+        up = jnp.bfloat16 if bf16_net else None
+        wire = {"exact": (np.float32, up),
+                "f32": (np.float32, None),
+                "f16": (np.float16, up)}[getattr(opt, "wire", "exact")]
         out = sliding_window_inference(
             vol,
             gen_fn,
@@ -102,6 +110,8 @@ def inference(opt):
             stride_inplane=opt.stride_inplane,
             stride_layer=opt.stride_layer,
             blend=opt.blend,
+            transfer_dtype=wire[0],
+            input_transfer_dtype=wire[1],
         )
     out = from_tanh_range(out)
     print(f"sliding-window decode: {time.time() - t0:.2f}s "

@@ -96,3 +96,50 @@ def test_non_divisible_stride_falls_back():
     out = sliding_window_inference(vol, lambda x: x, patch_size=(8, 8, 8),
                                    stride_inplane=5, stride_layer=3, batch=2)
     np.testing.assert_allclose(out, vol, atol=1e-4)
+
+
+def test_streaming_matches_monolithic():
+    from mra_gan_tpu.infer.sliding_window import (_overlap_add_inference,
+                                                  _streaming_overlap_add)
+
+    vol = np.random.RandomState(5).rand(20, 24, 28).astype(np.float32) * 2 - 1
+    gen = lambda x: x * 0.5 + 0.1
+    mono = _overlap_add_inference(vol, gen, (8, 8, 8), (4, 4, 4), "gaussian", 2)
+    stream = _streaming_overlap_add(vol, gen, (8, 8, 8), (4, 4, 4), "gaussian", 2)
+    np.testing.assert_allclose(stream, mono, atol=1e-5)
+    # uniform blend + batch padding of the in-plane grid
+    mono_u = _overlap_add_inference(vol, gen, (8, 8, 8), (4, 4, 4), "uniform", 5)
+    stream_u = _streaming_overlap_add(vol, gen, (8, 8, 8), (4, 4, 4), "uniform", 5)
+    np.testing.assert_allclose(stream_u, mono_u, atol=1e-5)
+
+
+def test_transfer_dtype_f16_bounded_error():
+    """float16 wire format: compute stays f32, output quantization stays
+    within ~2^-10 on a [-1,1]-scaled volume."""
+    vol = np.random.RandomState(6).rand(20, 16, 16).astype(np.float32) * 2 - 1
+    exact = sliding_window_inference(vol, lambda x: x, patch_size=(8, 8, 8),
+                                     stride_inplane=4, stride_layer=4, batch=2)
+    f16 = sliding_window_inference(vol, lambda x: x, patch_size=(8, 8, 8),
+                                   stride_inplane=4, stride_layer=4, batch=2,
+                                   transfer_dtype=np.float16)
+    assert f16.dtype == np.float32
+    np.testing.assert_allclose(f16, exact, atol=2e-3)
+    assert float(np.abs(f16 - exact).mean()) < 5e-4
+
+
+def test_bf16_input_wire_exact_for_bf16_generator():
+    """Pre-quantizing the input to bfloat16 on the host is a no-op for a
+    generator whose first op casts to bfloat16: outputs are bit-identical."""
+    import jax.numpy as jnp
+
+    def gen(x):  # stand-in for a bf16-compute network
+        h = x.astype(jnp.bfloat16)
+        return (jnp.tanh(h * 1.7 + 0.3)).astype(jnp.float32)
+
+    vol = np.random.RandomState(7).rand(20, 16, 16).astype(np.float32) * 2 - 1
+    base = sliding_window_inference(vol, gen, patch_size=(8, 8, 8),
+                                    stride_inplane=4, stride_layer=4, batch=2)
+    bf16_in = sliding_window_inference(vol, gen, patch_size=(8, 8, 8),
+                                       stride_inplane=4, stride_layer=4, batch=2,
+                                       input_transfer_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(bf16_in, base)
