@@ -489,6 +489,16 @@ class UnetGenerator3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        need = 2 ** self.num_downs
+        if min(x.shape[1:4]) < need:
+            # the reference fails the same way, just deeper in (a stride-2
+            # conv on a size-1 map inside UnetSkipConnectionBlock,
+            # reference models/networks3D.py:270-343)
+            raise ValueError(
+                f"UnetGenerator3D with num_downs={self.num_downs} needs every "
+                f"spatial dim >= {need}, got {x.shape[1:4]}; use a larger "
+                f"patch_size or a shallower netG (unet_custom=5 downs, "
+                f"unet_128=7, unet_256=8)")
         ki = get_initializer(self.init_type, self.init_gain)
         common = dict(norm=self.norm, kernel_init=ki, dtype=self.dtype)
         block = UnetSkipBlock3D(self.ngf * 8, self.ngf * 8, innermost=True, **common)

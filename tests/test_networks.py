@@ -139,3 +139,20 @@ def test_cells_io_matches_true_layout():
         got = d.clone(cells_io=True).apply(dp, space_to_depth(x, 4), train=False)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_unet_too_deep_raises_clear_error():
+    """unet_256 (8 downs) on a 64^3 patch must fail with an actionable
+    message, not a shape error deep inside the recursion (the reference
+    fails the same way inside UnetSkipConnectionBlock,
+    reference models/networks3D.py:270-343)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from mra_gan_tpu.models.networks import UnetGenerator3D
+
+    net = UnetGenerator3D(output_nc=1, num_downs=8, ngf=4)
+    x = jnp.zeros((1, 64, 64, 64, 1), jnp.float32)
+    with pytest.raises(ValueError, match="num_downs=8"):
+        net.init(jax.random.PRNGKey(0), x, train=False)
