@@ -34,3 +34,16 @@ def spatial_sharding(axis_name: str, n_devices: int):
         yield
     finally:
         _CTX.reset(tok)
+
+
+@contextlib.contextmanager
+def spatial_unsharded():
+    """Temporarily clear the spatial-sharding context — for subgraphs that
+    run replicated on gathered (full-depth) tensors inside an otherwise
+    depth-sharded trace (e.g. the PatchGAN discriminators in the spatial
+    train step, whose even-kernel stride-1 convs don't shard uniformly)."""
+    tok = _CTX.set(None)
+    try:
+        yield
+    finally:
+        _CTX.reset(tok)

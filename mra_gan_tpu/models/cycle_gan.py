@@ -101,10 +101,16 @@ class CycleGANConfig:
     def uses_cells(self, spatial) -> bool:
         """Whether the fused train step runs the G<->D loop in the S2D(4)
         cell domain (TPU-internal layout; parameters and all public APIs are
-        unaffected — see networks.ResnetGenerator3D.cells_io)."""
+        unaffected — see networks.ResnetGenerator3D.cells_io). Disabled under
+        spatial_sharding: the cell convs pad in the cell domain without halo
+        exchange, so the depth-sharded step uses the plain shard-aware
+        conv/pad path instead."""
+        from ..core.spatial_ctx import spatial_shard_info
+
         return (self.net_g in ("resnet_6blocks", "resnet_9blocks")
                 and self.norm == "instance"
-                and all(int(s) % 4 == 0 for s in spatial))
+                and all(int(s) % 4 == 0 for s in spatial)
+                and spatial_shard_info() is None)
 
 
 class PoolState(flax.struct.PyTreeNode):
@@ -228,6 +234,21 @@ def make_train_step(cfg: CycleGANConfig):
     def _make_d_loss(d_a, d_b):
         return lambda *a: d_loss_impl(d_a, d_b, *a)
 
+    def _d_apply(d, params, x):
+        """Discriminator forward; under spatial_sharding the input is
+        all-gathered along depth and the PatchGAN runs replicated (its
+        even-kernel stride-1 convs don't shard uniformly, and D is a tiny
+        fraction of the step's compute/memory). The gather's transpose is a
+        reduce-scatter, so cotangents flow back to the producing shard."""
+        from ..core.spatial_ctx import spatial_shard_info, spatial_unsharded
+
+        info = spatial_shard_info()
+        if info is None:
+            return d.apply(params, x, train=True)
+        xg = jax.lax.all_gather(x, info[0], axis=1, tiled=True)
+        with spatial_unsharded():
+            return d.apply(params, xg, train=True)
+
     def g_loss_impl(g_a, g_b, d_a, d_b, g_params, d_params, real_a, real_b,
                     rngs_per_apply):
         # rngs_per_apply: one independent dropout-rng dict per generator
@@ -266,8 +287,8 @@ def make_train_step(cfg: CycleGANConfig):
             idt_b = (g_b.apply(g_params["g_b"], real_a, train=True, rngs=r5)
                      if lam_idt > 0 else None)
 
-        loss_g_a = gan_loss(d_a.apply(d_params["d_a"], fake_b, train=True), True, cfg.gan_mode)
-        loss_g_b = gan_loss(d_b.apply(d_params["d_b"], fake_a, train=True), True, cfg.gan_mode)
+        loss_g_a = gan_loss(_d_apply(d_a, d_params["d_a"], fake_b), True, cfg.gan_mode)
+        loss_g_b = gan_loss(_d_apply(d_b, d_params["d_b"], fake_a), True, cfg.gan_mode)
         loss_cycle_a = l1_loss(rec_a, real_a) * cfg.lambda_a
         loss_cycle_b = l1_loss(rec_b, real_b) * cfg.lambda_b
 
@@ -303,17 +324,17 @@ def make_train_step(cfg: CycleGANConfig):
         # Real and fake stack into one batched apply under per-sample norms.
         bsz = real_a.shape[0]
         if fuse:
-            pred_a = d_a.apply(d_params["d_a"],
-                               jnp.concatenate([real_b, fake_b]), train=True)
+            pred_a = _d_apply(d_a, d_params["d_a"],
+                              jnp.concatenate([real_b, fake_b]))
             pred_real_a, pred_fake_a = pred_a[:bsz], pred_a[bsz:]
-            pred_b = d_b.apply(d_params["d_b"],
-                               jnp.concatenate([real_a, fake_a]), train=True)
+            pred_b = _d_apply(d_b, d_params["d_b"],
+                              jnp.concatenate([real_a, fake_a]))
             pred_real_b, pred_fake_b = pred_b[:bsz], pred_b[bsz:]
         else:
-            pred_real_a = d_a.apply(d_params["d_a"], real_b, train=True)
-            pred_fake_a = d_a.apply(d_params["d_a"], fake_b, train=True)
-            pred_real_b = d_b.apply(d_params["d_b"], real_a, train=True)
-            pred_fake_b = d_b.apply(d_params["d_b"], fake_a, train=True)
+            pred_real_a = _d_apply(d_a, d_params["d_a"], real_b)
+            pred_fake_a = _d_apply(d_a, d_params["d_a"], fake_b)
+            pred_real_b = _d_apply(d_b, d_params["d_b"], real_a)
+            pred_fake_b = _d_apply(d_b, d_params["d_b"], fake_a)
         loss_d_a = 0.5 * (gan_loss(pred_real_a, True, cfg.gan_mode)
                           + gan_loss(pred_fake_a, False, cfg.gan_mode))
         loss_d_b = 0.5 * (gan_loss(pred_real_b, True, cfg.gan_mode)
@@ -350,9 +371,26 @@ def make_train_step(cfg: CycleGANConfig):
             rngs_per_apply = tuple({"dropout": k}
                                    for k in jax.random.split(k_drop, 6))
 
+        # Under spatial_sharding the losses are pmean-ed (ops/losses._gmean),
+        # so every per-device grad — whether its loss term was computed on
+        # the local depth shard (G's L1 terms) or replicated on gathered
+        # volumes (everything through _d_apply, where the all_gather
+        # transpose reduce-scatters cotangents back to shards) — carries a
+        # 1/n-scaled share of the true gradient of the replicated params;
+        # psum assembles it exactly once. Outside the context: no-op.
+        from ..core.spatial_ctx import spatial_shard_info
+
+        sp_info = spatial_shard_info()
+
+        def _allreduce(grads):
+            if sp_info is None:
+                return grads
+            return jax.tree.map(lambda g: jax.lax.psum(g, sp_info[0]), grads)
+
         # --- G update (Ds frozen: d_params not differentiated) ---
         (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.g_params, state.d_params, real_a, real_b, rngs_per_apply)
+        g_grads = _allreduce(g_grads)
         g_params, opt_g = apply_updates(state.g_params, g_grads, state.opt_g, lr)
 
         # --- pool queries on the pre-update fakes ---
@@ -364,6 +402,7 @@ def make_train_step(cfg: CycleGANConfig):
         # --- D update ---
         (_, d_metrics), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params, real_a, real_b, fake_a_mix, fake_b_mix)
+        d_grads = _allreduce(d_grads)
         d_params, opt_d = apply_updates(state.d_params, d_grads, state.opt_d, lr)
 
         metrics = dict(aux["metrics"])

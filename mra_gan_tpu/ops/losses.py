@@ -7,14 +7,43 @@ correlation-coefficient loss ``1 - r**2``
 (reference models/networks3D.py:156-166).
 
 All reductions are float32 regardless of compute dtype.
+
+Under ``core.spatial_ctx.spatial_sharding`` (volumes depth-sharded across a
+mesh axis inside shard_map) every reduction becomes global: local means are
+``pmean``-ed and local sums ``psum``-ed across the shard axis, so the loss
+values — and therefore the gradients — match the unsharded computation
+exactly (shards are uniform by construction).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def _f32(x):
     return x.astype(jnp.float32)
+
+
+def _gmean(x):
+    """Global mean: plain mean, pmean-ed across the spatial-shard axis when
+    tracing inside spatial_sharding (uniform shards)."""
+    from ..core.spatial_ctx import spatial_shard_info
+
+    m = jnp.mean(x)
+    info = spatial_shard_info()
+    if info is not None:
+        m = jax.lax.pmean(m, info[0])
+    return m
+
+
+def _gsum(x):
+    from ..core.spatial_ctx import spatial_shard_info
+
+    s = jnp.sum(x)
+    info = spatial_shard_info()
+    if info is not None:
+        s = jax.lax.psum(s, info[0])
+    return s
 
 
 def gan_loss(pred, target_is_real: bool, mode: str = "lsgan"):
@@ -23,25 +52,25 @@ def gan_loss(pred, target_is_real: bool, mode: str = "lsgan"):
     pred = _f32(pred)
     target = 1.0 if target_is_real else 0.0
     if mode == "lsgan":
-        return jnp.mean(jnp.square(pred - target))
+        return _gmean(jnp.square(pred - target))
     if mode == "vanilla":
         eps = 1e-12
         p = jnp.clip(pred, eps, 1.0 - eps)
-        return jnp.mean(-(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p)))
+        return _gmean(-(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p)))
     raise ValueError(f"unknown gan loss mode {mode!r}")
 
 
 def l1_loss(pred, target):
-    return jnp.mean(jnp.abs(_f32(pred) - _f32(target)))
+    return _gmean(jnp.abs(_f32(pred) - _f32(target)))
 
 
 def cor_coe_loss(y_pred, y_target):
     """1 - Pearson r^2 ("absolute constraint" variant the reference uses)."""
     x = _f32(y_pred)
     y = _f32(y_target)
-    xc = x - jnp.mean(x)
-    yc = y - jnp.mean(y)
-    r_num = jnp.sum(xc * yc)
-    r_den = jnp.sqrt(jnp.sum(xc * xc)) * jnp.sqrt(jnp.sum(yc * yc))
+    xc = x - _gmean(x)
+    yc = y - _gmean(y)
+    r_num = _gsum(xc * yc)
+    r_den = jnp.sqrt(_gsum(xc * xc)) * jnp.sqrt(_gsum(yc * yc))
     r = r_num / r_den
     return 1.0 - r * r

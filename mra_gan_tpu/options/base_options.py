@@ -82,6 +82,11 @@ class BaseOptions:
                             help="random patches per volume per epoch")
         parser.add_argument("--data_parallel", action="store_true",
                             help="shard the batch over all visible devices")
+        parser.add_argument("--spatial_parallel", action="store_true",
+                            help="depth-shard every patch over all visible "
+                                 "devices (train patches too large for one "
+                                 "chip's HBM; patch depth must be divisible "
+                                 "by 4*device count)")
         parser.add_argument("--seed", type=int, default=0, help="global PRNG seed")
         self.initialized = True
         return parser

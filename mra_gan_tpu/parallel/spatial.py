@@ -152,6 +152,103 @@ def sharded_generator_apply(
     return np.asarray(out)[0, ..., 0]
 
 
+def shard_spatial_state(state, mesh: Mesh, axis_name: str, cfg=None):
+    """Place a CycleGANState for the spatial train step: params/opt/step
+    replicated, ImagePool buffers depth-sharded (they hold fakes, which live
+    depth-sharded inside the step). Pools that ``create_state`` allocated in
+    the single-chip step's internal S2D(4) cell layout are converted to the
+    plain layout the spatial step uses (pass ``cfg`` to enable this)."""
+    from jax.sharding import NamedSharding
+
+    from ..models.cycle_gan import PoolState
+
+    rep = NamedSharding(mesh, P())
+    psh = NamedSharding(mesh, P(None, axis_name))
+
+    def _pool(p, channels):
+        imgs = p.images
+        if cfg is not None and imgs.shape[-1] == 64 * channels:
+            from ..ops.s2d import depth_to_space
+
+            imgs = depth_to_space(imgs, 4)
+        return PoolState(images=jax.device_put(imgs, psh),
+                         count=jax.device_put(p.count, rep))
+
+    put = lambda t: jax.tree.map(lambda x: jax.device_put(x, rep), t)
+    in_nc = cfg.input_nc if cfg is not None else 1
+    out_nc = cfg.output_nc if cfg is not None else 1
+    return state.replace(
+        g_params=put(state.g_params), d_params=put(state.d_params),
+        opt_g=put(state.opt_g), opt_d=put(state.opt_d),
+        pool_fake_a=_pool(state.pool_fake_a, in_nc),
+        pool_fake_b=_pool(state.pool_fake_b, out_nc),
+        step=jax.device_put(state.step, rep))
+
+
+def make_spatial_train_step(cfg, mesh: Mesh, axis_name: str = "space"):
+    """Full CycleGAN train step with every volume DEPTH-SHARDED across
+    ``axis_name`` — spatial parallelism for patches too large for one chip's
+    HBM (the TPU-native "sequence parallel" of this domain; the reference has
+    no equivalent, SURVEY §5).
+
+    Design: the generators (the memory hogs — 32-channel full-resolution
+    activation stacks) run sharded via core.spatial_ctx — conv padding
+    becomes ICI halo exchange, instance-norm statistics and loss reductions
+    are pmean-ed. The PatchGAN discriminators run replicated on all-gathered
+    volumes (their even-kernel stride-1 convs don't shard uniformly and they
+    are a small fraction of the step); the gather's autodiff transpose
+    reduce-scatters cotangents back to the producing shard. Per-device
+    gradients then psum into the exact gradient of the unsharded step
+    (models/cycle_gan.py train_step._allreduce), so parameters stay
+    bit-consistent across devices.
+
+    Constraints: batch is replicated across the axis (combine with the
+    ``data`` mesh axis for DP); patch depth divisible by 4*n with shard
+    depth >= 4 (two stride-2 halvings + the 7^3 stem halo); no dropout
+    (identical per-shard keys would repeat masks along depth).
+
+    Returns (step_fn, input_sharding); states go through
+    ``shard_spatial_state`` first.
+    """
+    from jax.sharding import NamedSharding
+
+    from ..core.spatial_ctx import spatial_sharding
+    from ..models.cycle_gan import make_train_step
+
+    n = mesh.shape[axis_name]
+    assert cfg.no_dropout, "spatial train step requires no_dropout"
+    base = make_train_step(cfg)
+
+    from ..models.cycle_gan import CycleGANState, PoolState
+
+    pool_spec = PoolState(images=P(None, axis_name), count=P())
+    state_spec = CycleGANState(
+        g_params=P(), d_params=P(), opt_g=P(), opt_d=P(),
+        pool_fake_a=pool_spec, pool_fake_b=pool_spec, step=P())
+    vol_spec = P(None, axis_name)
+
+    def body(state, a, b, rng, lr):
+        with spatial_sharding(axis_name, n):
+            return base(state, a, b, rng, lr)
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(state_spec, vol_spec, vol_spec, P(), P()),
+        out_specs=(state_spec, P()),
+        check_vma=False)
+    jitted = jax.jit(sharded, donate_argnums=0)
+
+    def step(state, real_a, real_b, rng, lr):
+        d = real_a.shape[1]
+        if d % (4 * n) or d // n < 4:
+            raise ValueError(
+                f"spatial step over {n} devices needs patch depth divisible "
+                f"by {4 * n} with shard depth >= 4, got {d}")
+        return jitted(state, real_a, real_b, rng, jnp.float32(lr))
+
+    return step, NamedSharding(mesh, vol_spec)
+
+
 def halo_conv3d(mesh: Mesh, x_sharded: jax.Array, kernel: jax.Array,
                 axis_name: str = DATA_AXIS) -> jax.Array:
     """'Same' (zero-pad) conv over a depth-sharded (N, D, H, W, C) volume.

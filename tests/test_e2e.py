@@ -126,3 +126,26 @@ def test_organize_and_check_patches(data_root, tmp_path):
     chk.main(["--data_path", str(out_root / "train"), "--patch_size", "8", "8", "8",
               "--index", "0", "--out", str(png)])
     assert png.exists() and png.stat().st_size > 1000
+
+
+def test_train_spatial_parallel_cli(data_root):
+    """train.py --spatial_parallel end-to-end on the 8-virtual-device CPU
+    mesh: every patch depth-sharded across devices (32 = 4*8), incl. the
+    depth-divisibility guard."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import train as train_cli
+
+    ck = str(data_root / "ck_sp")
+    common = ["--data_path", str(data_root / "train"), "--checkpoints_dir", ck,
+              "--name", "sp", "--ngf", "4", "--ndf", "4", "--n_layers_D", "1",
+              "--precision", "float32", "--pool_size", "2",
+              "--spatial_parallel", "--batch_size", "1", "--niter", "1",
+              "--niter_decay", "0", "--save_epoch_freq", "1",
+              "--print_freq", "2"]
+    with pytest.raises(SystemExit, match="divisible"):
+        train_cli.main(common + ["--patch_size", "16", "16", "16"])
+    train_cli.main(common + ["--patch_size", "32", "16", "16"])
+    assert (data_root / "ck_sp/sp/ckpt_latest").exists()
+    log = (data_root / "ck_sp/sp/loss_log.txt").read_text()
+    assert "cycle_A" in log

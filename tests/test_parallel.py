@@ -98,3 +98,56 @@ def test_sharded_generator_apply_matches_unsharded():
     want = np.asarray(net.apply(params, x, train=False))[0, ..., 0]
     got = sharded_generator_apply(mesh, net, params, vol)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_spatial_train_step_matches_single_device():
+    """Depth-sharded train step (generators sharded with halo exchange +
+    pmean-ed norms/losses; Ds replicated on gathered volumes; psum-ed grads)
+    must track the single-device step's loss trajectory."""
+    from mra_gan_tpu.core.mesh import SPACE_AXIS
+    from mra_gan_tpu.parallel.spatial import (make_spatial_train_step,
+                                              shard_spatial_state)
+
+    cfg = CycleGANConfig(ngf=4, ndf=4, n_layers_d=1, pool_size=2,
+                         net_g="resnet_6blocks")
+    patch = (16, 16, 16)  # depth 16 = 4*n with n=4 -> shard depth 4
+    rng = jax.random.PRNGKey(0)
+    state0 = create_state(cfg, rng, patch)
+    a = jax.random.uniform(jax.random.PRNGKey(1), (1, *patch, 1), minval=-1, maxval=1)
+    b = jax.random.uniform(jax.random.PRNGKey(2), (1, *patch, 1), minval=-1, maxval=1)
+
+    single = jax.jit(make_train_step(cfg))
+    mesh = make_mesh(jax.devices()[:4], data=1, space=4)
+    step, vol_sh = make_spatial_train_step(cfg, mesh, SPACE_AXIS)
+    state_sp = shard_spatial_state(create_state(cfg, rng, patch), mesh,
+                                   SPACE_AXIS, cfg)
+    a_sh = jax.device_put(a, vol_sh)
+    b_sh = jax.device_put(b, vol_sh)
+
+    s1, sn = state0, state_sp
+    for i in range(3):
+        s1, m1 = single(s1, a, b, jax.random.PRNGKey(3 + i), 2e-4)
+        sn, mn = step(sn, a_sh, b_sh, jax.random.PRNGKey(3 + i), 2e-4)
+        rtol = (1e-3, 2e-3, 2e-2)[i]
+        for k in m1:
+            np.testing.assert_allclose(float(m1[k]), float(mn[k]), rtol=rtol,
+                                       atol=1e-4, err_msg=f"step{i}:{k}")
+
+    # (No per-parameter comparison: like the DP test above, Adam normalizes
+    # near-zero grads to full-lr updates, so f32 reduction-order dust flips
+    # update signs chaotically — the 3-step loss trajectory is the
+    # end-to-end check.) Pool state advanced and stayed finite:
+    assert int(sn.pool_fake_a.count) > 0
+    assert np.isfinite(np.asarray(sn.pool_fake_a.images, np.float32)).all()
+
+
+def test_spatial_train_step_rejects_bad_depth():
+    from mra_gan_tpu.core.mesh import SPACE_AXIS
+    from mra_gan_tpu.parallel.spatial import make_spatial_train_step
+
+    cfg = CycleGANConfig(ngf=4, ndf=4, n_layers_d=1, pool_size=0)
+    mesh = make_mesh(jax.devices()[:4], data=1, space=4)
+    step, _ = make_spatial_train_step(cfg, mesh, SPACE_AXIS)
+    a = jnp.zeros((1, 12, 16, 16, 1))
+    with pytest.raises(ValueError, match="divisible"):
+        step(None, a, a, jax.random.PRNGKey(0), 2e-4)

@@ -82,7 +82,23 @@ def main(argv=None):
             f"--data_parallel requires batch_size ({opt.batch_size}) divisible "
             f"by the device count ({len(jax.devices())}); pick e.g. "
             f"--batch_size {-(-opt.batch_size // len(jax.devices())) * len(jax.devices())}")
-    if opt.data_parallel and len(jax.devices()) > 1:
+    if getattr(opt, "spatial_parallel", False) and len(jax.devices()) > 1:
+        from mra_gan_tpu.core.mesh import SPACE_AXIS, make_mesh
+        from mra_gan_tpu.parallel.spatial import (make_spatial_train_step,
+                                                  shard_spatial_state)
+
+        n = len(jax.devices())
+        if int(patch[0]) % (4 * n):
+            raise SystemExit(
+                f"--spatial_parallel requires patch depth ({patch[0]}) "
+                f"divisible by 4*device count ({4 * n})")
+        mesh = make_mesh(data=1, space=n)
+        state = shard_spatial_state(state, mesh, SPACE_AXIS, cfg)
+        step, vol_sh = make_spatial_train_step(cfg, mesh, SPACE_AXIS)
+
+        def put(x):
+            return jax.device_put(jnp.asarray(x), vol_sh)
+    elif opt.data_parallel and len(jax.devices()) > 1:
         from mra_gan_tpu.core.mesh import make_mesh
         from mra_gan_tpu.parallel.sharding import make_sharded_train_step, shard_state
 
