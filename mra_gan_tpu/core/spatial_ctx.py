@@ -20,6 +20,8 @@ from typing import Optional, Tuple
 
 _CTX: contextvars.ContextVar = contextvars.ContextVar(
     "mra_spatial_shard", default=None)
+_DP_CTX: contextvars.ContextVar = contextvars.ContextVar(
+    "mra_data_shard", default=None)
 
 
 def spatial_shard_info() -> Optional[Tuple[str, int]]:
@@ -27,13 +29,25 @@ def spatial_shard_info() -> Optional[Tuple[str, int]]:
     return _CTX.get()
 
 
+def data_shard_info() -> Optional[Tuple[str, int]]:
+    """(axis_name, n_devices) of the BATCH mesh axis when the spatial step
+    also shards the batch (2-D dp x sp mesh), else None. Consulted by loss
+    reductions and the train step's pool/grad handling — never by conv/norm
+    (per-sample semantics are unaffected by batch sharding)."""
+    return _DP_CTX.get()
+
+
 @contextlib.contextmanager
-def spatial_sharding(axis_name: str, n_devices: int):
+def spatial_sharding(axis_name: str, n_devices: int,
+                     data_axis: Optional[Tuple[str, int]] = None):
     tok = _CTX.set((str(axis_name), int(n_devices)))
+    tok2 = _DP_CTX.set((str(data_axis[0]), int(data_axis[1]))
+                       if data_axis is not None else None)
     try:
         yield
     finally:
         _CTX.reset(tok)
+        _DP_CTX.reset(tok2)
 
 
 @contextlib.contextmanager

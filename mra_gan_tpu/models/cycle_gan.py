@@ -371,21 +371,25 @@ def make_train_step(cfg: CycleGANConfig):
             rngs_per_apply = tuple({"dropout": k}
                                    for k in jax.random.split(k_drop, 6))
 
-        # Under spatial_sharding the losses are pmean-ed (ops/losses._gmean),
-        # so every per-device grad — whether its loss term was computed on
-        # the local depth shard (G's L1 terms) or replicated on gathered
+        # Under spatial_sharding the losses are pmean-ed (ops/losses._gmean)
+        # across the spatial — and on a 2-D dp x sp mesh also the batch —
+        # axes, so every per-device grad — whether its loss term was computed
+        # on the local depth shard (G's L1 terms) or replicated on gathered
         # volumes (everything through _d_apply, where the all_gather
         # transpose reduce-scatters cotangents back to shards) — carries a
         # 1/n-scaled share of the true gradient of the replicated params;
-        # psum assembles it exactly once. Outside the context: no-op.
-        from ..core.spatial_ctx import spatial_shard_info
+        # psum over the same axes assembles it exactly once. Outside the
+        # context: no-op.
+        from ..core.spatial_ctx import data_shard_info, spatial_shard_info
 
         sp_info = spatial_shard_info()
+        dp_info = data_shard_info()
+        ar_axes = tuple(i[0] for i in (sp_info, dp_info) if i is not None)
 
         def _allreduce(grads):
-            if sp_info is None:
+            if not ar_axes:
                 return grads
-            return jax.tree.map(lambda g: jax.lax.psum(g, sp_info[0]), grads)
+            return jax.tree.map(lambda g: jax.lax.psum(g, ar_axes), grads)
 
         # --- G update (Ds frozen: d_params not differentiated) ---
         (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
@@ -394,10 +398,25 @@ def make_train_step(cfg: CycleGANConfig):
         g_params, opt_g = apply_updates(state.g_params, g_grads, state.opt_g, lr)
 
         # --- pool queries on the pre-update fakes ---
-        pool_fake_b, fake_b_mix = pool_query(
-            state.pool_fake_b, aux["fake_b"], k_pool_b, cfg.pool_size)
-        pool_fake_a, fake_a_mix = pool_query(
-            state.pool_fake_a, aux["fake_a"], k_pool_a, cfg.pool_size)
+        # On a dp x sp mesh the batch is sharded: all_gather the fakes over
+        # the batch axis so every device applies the IDENTICAL sequential
+        # pool update (same key, same global batch — the reference's exact
+        # pool semantics regardless of device count), then slice the mixed
+        # result back to the local batch for the D update.
+        def _pool_q(pool, fakes, k):
+            if dp_info is None:
+                return pool_query(pool, fakes, k, cfg.pool_size)
+            b = fakes.shape[0]
+            fakes_g = jax.lax.all_gather(fakes, dp_info[0], axis=0, tiled=True)
+            pool, mix_g = pool_query(pool, fakes_g, k, cfg.pool_size)
+            idx = jax.lax.axis_index(dp_info[0])
+            mix = jax.lax.dynamic_slice_in_dim(mix_g, idx * b, b, axis=0)
+            return pool, mix
+
+        pool_fake_b, fake_b_mix = _pool_q(state.pool_fake_b, aux["fake_b"],
+                                          k_pool_b)
+        pool_fake_a, fake_a_mix = _pool_q(state.pool_fake_a, aux["fake_a"],
+                                          k_pool_a)
 
         # --- D update ---
         (_, d_metrics), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(

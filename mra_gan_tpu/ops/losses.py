@@ -24,25 +24,30 @@ def _f32(x):
     return x.astype(jnp.float32)
 
 
-def _gmean(x):
-    """Global mean: plain mean, pmean-ed across the spatial-shard axis when
-    tracing inside spatial_sharding (uniform shards)."""
-    from ..core.spatial_ctx import spatial_shard_info
+def _shard_axes():
+    from ..core.spatial_ctx import data_shard_info, spatial_shard_info
 
+    axes = [i[0] for i in (spatial_shard_info(), data_shard_info())
+            if i is not None]
+    return tuple(axes) or None
+
+
+def _gmean(x):
+    """Global mean: plain mean, pmean-ed across the spatial (and, on a 2-D
+    dp x sp mesh, batch) shard axes when tracing inside spatial_sharding
+    (uniform shards)."""
     m = jnp.mean(x)
-    info = spatial_shard_info()
-    if info is not None:
-        m = jax.lax.pmean(m, info[0])
+    axes = _shard_axes()
+    if axes is not None:
+        m = jax.lax.pmean(m, axes)
     return m
 
 
 def _gsum(x):
-    from ..core.spatial_ctx import spatial_shard_info
-
     s = jnp.sum(x)
-    info = spatial_shard_info()
-    if info is not None:
-        s = jax.lax.psum(s, info[0])
+    axes = _shard_axes()
+    if axes is not None:
+        s = jax.lax.psum(s, axes)
     return s
 
 

@@ -286,9 +286,14 @@ def _head_s2_bwd(res, gy):
     half = (k - 1) // 2
     pad4 = 4 * int(np.ceil(half / 4))
     _, _, _, pc = _head_stride2_map(k)
-    if 2 * pc != pad4 or any(s % 2 for s in xp.shape[1:4]):
+    if 2 * pc != pad4 or any(s % 2 for s in xp.shape[1:4]) or xp.shape[0] > 4:
         # f2 and f4 padded grids only coincide for k=7 (pad 4 true either
         # way); elsewhere fall back to XLA's native dx of the stride-2 form.
+        # Also at batch > 4: the f4 conv's f4->f2 regroup is a lane relayout
+        # whose cost scales superlinearly with batch (batch-16 reshapes ran
+        # 6.4 ms EACH on v5e — 25 ms/step across the applies; the native dx
+        # lowered fine there: 273 -> 233 ms/step at batch 8), while at
+        # batch 1-2 the f4 form is ~3x cheaper than the native one.
         _, vjp_x = jax.vjp(lambda X: _head_s2_impl(X, w), xp)
         (dxp,) = vjp_x(gy)
         return dxp.astype(xp.dtype), dw

@@ -83,10 +83,15 @@ class BaseOptions:
         parser.add_argument("--data_parallel", action="store_true",
                             help="shard the batch over all visible devices")
         parser.add_argument("--spatial_parallel", action="store_true",
-                            help="depth-shard every patch over all visible "
-                                 "devices (train patches too large for one "
-                                 "chip's HBM; patch depth must be divisible "
-                                 "by 4*device count)")
+                            help="depth-shard every patch over the mesh "
+                                 "(train patches too large for one chip's "
+                                 "HBM; patch depth must be divisible by "
+                                 "4*spatial devices). Combine with "
+                                 "--data_parallel for a 2-D dp x sp mesh")
+        parser.add_argument("--space_devices", type=int, default=0,
+                            help="devices on the spatial mesh axis (0 = all "
+                                 "when --spatial_parallel alone; required "
+                                 "with --data_parallel + --spatial_parallel)")
         parser.add_argument("--seed", type=int, default=0, help="global PRNG seed")
         self.initialized = True
         return parser

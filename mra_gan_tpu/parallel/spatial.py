@@ -185,7 +185,8 @@ def shard_spatial_state(state, mesh: Mesh, axis_name: str, cfg=None):
         step=jax.device_put(state.step, rep))
 
 
-def make_spatial_train_step(cfg, mesh: Mesh, axis_name: str = "space"):
+def make_spatial_train_step(cfg, mesh: Mesh, axis_name: str = "space",
+                            data_axis: str = None):
     """Full CycleGAN train step with every volume DEPTH-SHARDED across
     ``axis_name`` — spatial parallelism for patches too large for one chip's
     HBM (the TPU-native "sequence parallel" of this domain; the reference has
@@ -202,10 +203,15 @@ def make_spatial_train_step(cfg, mesh: Mesh, axis_name: str = "space"):
     (models/cycle_gan.py train_step._allreduce), so parameters stay
     bit-consistent across devices.
 
-    Constraints: batch is replicated across the axis (combine with the
-    ``data`` mesh axis for DP); patch depth divisible by 4*n with shard
-    depth >= 4 (two stride-2 halvings + the 7^3 stem halo); no dropout
-    (identical per-shard keys would repeat masks along depth).
+    Pass ``data_axis`` for a 2-D dp x sp mesh: the batch shards over it too
+    (loss reductions extend across both axes; the ImagePool all-gathers the
+    per-device fakes so every device applies the reference's exact
+    sequential pool update to its replicated buffers).
+
+    Constraints: patch depth divisible by 4*n with shard depth >= 4 (two
+    stride-2 halvings + the 7^3 stem halo); batch divisible by the data-axis
+    size; no dropout (identical per-shard keys would repeat masks along
+    depth).
 
     Returns (step_fn, input_sharding); states go through
     ``shard_spatial_state`` first.
@@ -225,10 +231,12 @@ def make_spatial_train_step(cfg, mesh: Mesh, axis_name: str = "space"):
     state_spec = CycleGANState(
         g_params=P(), d_params=P(), opt_g=P(), opt_d=P(),
         pool_fake_a=pool_spec, pool_fake_b=pool_spec, step=P())
-    vol_spec = P(None, axis_name)
+    nd = mesh.shape[data_axis] if data_axis else 1
+    vol_spec = P(data_axis, axis_name)
 
     def body(state, a, b, rng, lr):
-        with spatial_sharding(axis_name, n):
+        with spatial_sharding(axis_name, n,
+                              data_axis=(data_axis, nd) if data_axis else None):
             return base(state, a, b, rng, lr)
 
     sharded = shard_map(
@@ -244,6 +252,10 @@ def make_spatial_train_step(cfg, mesh: Mesh, axis_name: str = "space"):
             raise ValueError(
                 f"spatial step over {n} devices needs patch depth divisible "
                 f"by {4 * n} with shard depth >= 4, got {d}")
+        if real_a.shape[0] % nd:
+            raise ValueError(
+                f"batch {real_a.shape[0]} not divisible by the data-axis "
+                f"size {nd}")
         return jitted(state, real_a, real_b, rng, jnp.float32(lr))
 
     return step, NamedSharding(mesh, vol_spec)

@@ -149,3 +149,25 @@ def test_train_spatial_parallel_cli(data_root):
     assert (data_root / "ck_sp/sp/ckpt_latest").exists()
     log = (data_root / "ck_sp/sp/loss_log.txt").read_text()
     assert "cycle_A" in log
+
+
+def test_train_dp_x_sp_cli(data_root):
+    """train.py --data_parallel --spatial_parallel --space_devices 4: 2-D
+    mesh (2 data x 4 space) on the 8-virtual-device CPU mesh."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import train as train_cli
+
+    ck = str(data_root / "ck_dpsp")
+    common = ["--data_path", str(data_root / "train"), "--checkpoints_dir", ck,
+              "--name", "dpsp", "--ngf", "4", "--ndf", "4", "--n_layers_D", "1",
+              "--precision", "float32", "--pool_size", "2",
+              "--data_parallel", "--spatial_parallel", "--batch_size", "2",
+              "--patch_size", "16", "16", "16", "--niter", "1",
+              "--niter_decay", "0", "--save_epoch_freq", "1",
+              "--print_freq", "2"]
+    with pytest.raises(SystemExit, match="space_devices"):
+        train_cli.main(common)
+    train_cli.main(common + ["--space_devices", "4"])
+    assert (data_root / "ck_dpsp/dpsp/ckpt_latest").exists()
+    assert "cycle_A" in (data_root / "ck_dpsp/dpsp/loss_log.txt").read_text()

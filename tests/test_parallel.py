@@ -151,3 +151,40 @@ def test_spatial_train_step_rejects_bad_depth():
     a = jnp.zeros((1, 12, 16, 16, 1))
     with pytest.raises(ValueError, match="divisible"):
         step(None, a, a, jax.random.PRNGKey(0), 2e-4)
+
+
+def test_dp_x_sp_train_step_matches_single_device():
+    """2-D mesh: batch sharded over 'data' x depth sharded over 'space'.
+    Loss trajectory must match the single-device step (pool all-gather keeps
+    the reference's exact sequential pool semantics)."""
+    from mra_gan_tpu.core.mesh import DATA_AXIS, SPACE_AXIS
+    from mra_gan_tpu.parallel.spatial import (make_spatial_train_step,
+                                              shard_spatial_state)
+
+    cfg = CycleGANConfig(ngf=4, ndf=4, n_layers_d=1, pool_size=3,
+                         net_g="resnet_6blocks")
+    patch = (16, 16, 16)
+    rng = jax.random.PRNGKey(0)
+    state0 = create_state(cfg, rng, patch)
+    a = jax.random.uniform(jax.random.PRNGKey(1), (2, *patch, 1), minval=-1, maxval=1)
+    b = jax.random.uniform(jax.random.PRNGKey(2), (2, *patch, 1), minval=-1, maxval=1)
+
+    single = jax.jit(make_train_step(cfg))
+    mesh = make_mesh(jax.devices()[:8], data=2, space=4)
+    step, vol_sh = make_spatial_train_step(cfg, mesh, SPACE_AXIS,
+                                           data_axis=DATA_AXIS)
+    state_sp = shard_spatial_state(create_state(cfg, rng, patch), mesh,
+                                   SPACE_AXIS, cfg)
+    a_sh = jax.device_put(a, vol_sh)
+    b_sh = jax.device_put(b, vol_sh)
+
+    s1, sn = state0, state_sp
+    for i in range(3):
+        s1, m1 = single(s1, a, b, jax.random.PRNGKey(3 + i), 2e-4)
+        sn, mn = step(sn, a_sh, b_sh, jax.random.PRNGKey(3 + i), 2e-4)
+        rtol = (1e-3, 2e-3, 2e-2)[i]
+        for k in m1:
+            np.testing.assert_allclose(float(m1[k]), float(mn[k]), rtol=rtol,
+                                       atol=1e-4, err_msg=f"step{i}:{k}")
+    with pytest.raises(ValueError, match="not divisible"):
+        step(sn, a_sh[:1], b_sh[:1], jax.random.PRNGKey(9), 2e-4)

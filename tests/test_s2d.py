@@ -207,8 +207,10 @@ def test_head_stride2_cells_exact_and_grads():
     )
 
     rng = np.random.RandomState(10)
-    for k, ci, co, s in [(7, 32, 1, 16), (7, 3, 2, 12), (5, 4, 1, 8), (3, 5, 3, 8)]:
-        x = jnp.asarray(rng.randn(1, s, s, s, ci).astype(np.float32))
+    # batch 6 exercises the large-batch native-dx branch (batch > 4)
+    for k, ci, co, s, n in [(7, 32, 1, 16, 1), (7, 3, 2, 12, 1),
+                            (5, 4, 1, 8, 1), (3, 5, 3, 8, 1), (7, 2, 1, 8, 6)]:
+        x = jnp.asarray(rng.randn(n, s, s, s, ci).astype(np.float32))
         w = jnp.asarray(rng.randn(k, k, k, ci, co).astype(np.float32) * 0.1)
         f = 4 if s % 4 == 0 else 2
         ref_fn = lambda x, w: conv3d_s2d(x, w, f=f, pad_mode="edge")

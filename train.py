@@ -76,25 +76,41 @@ def main(argv=None):
     state = create_state(cfg, init_rng, patch)
     print_networks(state, verbose=opt.verbose)
 
-    if opt.data_parallel and len(jax.devices()) > 1 \
+    if opt.data_parallel and not getattr(opt, "spatial_parallel", False) \
+            and len(jax.devices()) > 1 \
             and opt.batch_size % len(jax.devices()) != 0:
         raise SystemExit(
             f"--data_parallel requires batch_size ({opt.batch_size}) divisible "
             f"by the device count ({len(jax.devices())}); pick e.g. "
             f"--batch_size {-(-opt.batch_size // len(jax.devices())) * len(jax.devices())}")
     if getattr(opt, "spatial_parallel", False) and len(jax.devices()) > 1:
-        from mra_gan_tpu.core.mesh import SPACE_AXIS, make_mesh
+        from mra_gan_tpu.core.mesh import DATA_AXIS, SPACE_AXIS, make_mesh
         from mra_gan_tpu.parallel.spatial import (make_spatial_train_step,
                                                   shard_spatial_state)
 
-        n = len(jax.devices())
-        if int(patch[0]) % (4 * n):
+        total = len(jax.devices())
+        both = opt.data_parallel
+        if both:
+            ns = getattr(opt, "space_devices", 0)
+            if ns <= 0 or total % ns:
+                raise SystemExit(
+                    "--data_parallel + --spatial_parallel needs "
+                    f"--space_devices dividing the device count ({total})")
+        else:
+            ns = getattr(opt, "space_devices", 0) or total
+        nd = total // ns
+        if int(patch[0]) % (4 * ns):
             raise SystemExit(
                 f"--spatial_parallel requires patch depth ({patch[0]}) "
-                f"divisible by 4*device count ({4 * n})")
-        mesh = make_mesh(data=1, space=n)
+                f"divisible by 4*spatial devices ({4 * ns})")
+        if both and opt.batch_size % nd:
+            raise SystemExit(
+                f"batch_size ({opt.batch_size}) must be divisible by the "
+                f"data-axis size ({nd})")
+        mesh = make_mesh(data=nd, space=ns)
         state = shard_spatial_state(state, mesh, SPACE_AXIS, cfg)
-        step, vol_sh = make_spatial_train_step(cfg, mesh, SPACE_AXIS)
+        step, vol_sh = make_spatial_train_step(
+            cfg, mesh, SPACE_AXIS, data_axis=DATA_AXIS if both else None)
 
         def put(x):
             return jax.device_put(jnp.asarray(x), vol_sh)
