@@ -41,7 +41,67 @@ class CheckpointManager:
         p = self.path(epoch)
         if not p.exists():
             raise FileNotFoundError(f"no checkpoint at {p}")
-        return self._ckptr.restore(p, template)
+        try:
+            return self._ckptr.restore(p, template)
+        except Exception:
+            return self._restore_relayout(p, template)
+
+    def _restore_relayout(self, p, template: CycleGANState) -> CycleGANState:
+        """Fallback for checkpoints whose ImagePool layout differs from the
+        template's — the single-chip step stores fakes in its internal
+        S2D(4) cell layout while the spatial-parallel step stores them
+        plain, so switching --spatial_parallel across a resume changes the
+        pool buffer shapes. Pool HISTORY is layout-specific and replaceable;
+        params/optimizer/step are not: adopt those from the checkpoint
+        (strict on structure and shape) and reset any pool whose stored
+        shape disagrees with the template."""
+        import warnings
+
+        import jax.numpy as jnp
+
+        from ..models.cycle_gan import PoolState
+
+        raw = self.restore_raw(str(p.name).replace("ckpt_", ""))
+
+        def _adopt(tmpl, saved, what):
+            t_leaves, treedef = jax.tree.flatten(tmpl)
+            s_leaves = jax.tree.leaves(saved)
+            if len(t_leaves) != len(s_leaves):
+                raise ValueError(
+                    f"checkpoint {what} has {len(s_leaves)} arrays, expected "
+                    f"{len(t_leaves)} — different model/optimizer config")
+            out = []
+            for t, s in zip(t_leaves, s_leaves):
+                if tuple(np.shape(s)) != tuple(np.shape(t)):
+                    raise ValueError(
+                        f"checkpoint {what} shape {np.shape(s)} != template "
+                        f"{np.shape(t)}")
+                out.append(jnp.asarray(s, t.dtype))
+            return jax.tree.unflatten(treedef, out)
+
+        def _pool(tmpl: PoolState, saved, which):
+            if tuple(np.shape(saved["images"])) == tuple(tmpl.images.shape):
+                return PoolState(
+                    images=jnp.asarray(saved["images"], tmpl.images.dtype),
+                    count=jnp.asarray(saved["count"], jnp.int32))
+            warnings.warn(
+                f"checkpoint {which} buffer layout {np.shape(saved['images'])}"
+                f" differs from this run's {tuple(tmpl.images.shape)} "
+                "(single-chip cell layout vs spatial-parallel plain layout); "
+                "pool history reset — training semantics re-fill it within "
+                f"pool_size steps")
+            return PoolState(images=jnp.zeros_like(tmpl.images),
+                             count=jnp.zeros((), jnp.int32))
+
+        return template.replace(
+            g_params=_adopt(template.g_params, raw["g_params"], "g_params"),
+            d_params=_adopt(template.d_params, raw["d_params"], "d_params"),
+            opt_g=_adopt(template.opt_g, raw["opt_g"], "opt_g"),
+            opt_d=_adopt(template.opt_d, raw["opt_d"], "opt_d"),
+            pool_fake_a=_pool(template.pool_fake_a, raw["pool_fake_a"], "pool_fake_a"),
+            pool_fake_b=_pool(template.pool_fake_b, raw["pool_fake_b"], "pool_fake_b"),
+            step=jnp.asarray(raw["step"], jnp.int32),
+        )
 
     def restore_raw(self, epoch):
         """Restore the saved pytree without a template (plain dicts/arrays) —

@@ -123,22 +123,70 @@ def manual_normalize(data: np.ndarray, window_min: float, window_max: float) -> 
     return (x - window_min) * (255.0 / span) if span > 0 else np.zeros_like(x)
 
 
-def adaptive_equalize(data: np.ndarray, alpha: float = 0.6, beta: float = 0.3) -> np.ndarray:
-    """Adaptive histogram equalization (reference Adapt_eq_histogram,
-    utils/NiftiDataset.py:935-958): power-law AHE then rescale to 0-255.
-    Implemented as CLAHE-like local equalization via rank filtering on a
-    coarse histogram — numpy-only approximation preserving the capability."""
+def adaptive_equalize(data: np.ndarray, alpha: float = 0.6, beta: float = 0.3,
+                      tiles: int = 4, clip_limit: float = 3.0) -> np.ndarray:
+    """Adaptive (LOCAL) histogram equalization (reference Adapt_eq_histogram,
+    utils/NiftiDataset.py:935-958, which wraps ITK's per-voxel-window
+    AdaptiveHistogramEqualization(alpha=0.6, beta=0.3) then rescales 0-255).
+
+    Recorded deviation: ITK runs Stark's power-law AHE over a sliding
+    window; this numpy-only rebuild uses tiled CLAHE — per-tile
+    clip-redistributed histograms with trilinear interpolation of the tile
+    mappings — which matches the local-contrast character without the ITK
+    dependency. ``alpha`` blends equalized vs identity and ``beta`` keeps
+    its power-law role, mirroring the reference's parameter intent."""
     x = data.astype(np.float32)
     lo, hi = np.percentile(x, [1, 99])
     x = np.clip(x, lo, hi)
     if hi > lo:
         x = (x - lo) / (hi - lo)
-    # global histogram equalization with alpha blending toward identity
-    flat = x.ravel()
-    hist, edges = np.histogram(flat, bins=256, range=(0, 1))
-    cdf = np.cumsum(hist).astype(np.float32)
-    cdf /= cdf[-1]
-    eq = np.interp(flat, edges[:-1], cdf).reshape(x.shape)
+    else:
+        x = np.zeros_like(x)
+
+    nbins = 256
+    b = np.minimum((x * (nbins - 1)).astype(np.int32), nbins - 1)
+    shape = x.shape
+    nt = [max(1, min(tiles, s // 4)) for s in shape]
+    # per-tile clipped CDFs
+    cdfs = np.empty((*nt, nbins), np.float32)
+    bounds = [np.linspace(0, s, n + 1).astype(int) for s, n in zip(shape, nt)]
+    centers = [(bd[:-1] + bd[1:]) / 2.0 for bd in bounds]
+    for i in range(nt[0]):
+        for j in range(nt[1]):
+            for k in range(nt[2]):
+                tb = b[bounds[0][i]:bounds[0][i + 1],
+                       bounds[1][j]:bounds[1][j + 1],
+                       bounds[2][k]:bounds[2][k + 1]]
+                hist = np.bincount(tb.ravel(), minlength=nbins).astype(np.float32)
+                limit = clip_limit * hist.mean()
+                excess = np.maximum(hist - limit, 0).sum()
+                hist = np.minimum(hist, limit) + excess / nbins
+                c = np.cumsum(hist)
+                cdfs[i, j, k] = c / c[-1]
+
+    # trilinear interpolation of the 8 surrounding tile mappings
+    idx = [np.arange(s, dtype=np.float32) for s in shape]
+    fs, los_ = [], []
+    for ax in range(3):
+        pos = np.interp(idx[ax], centers[ax],
+                        np.arange(nt[ax], dtype=np.float32))
+        lo_i = np.clip(np.floor(pos).astype(np.int32), 0, nt[ax] - 1)
+        fs.append((pos - lo_i).astype(np.float32))
+        los_.append(lo_i)
+    eq = np.zeros(shape, np.float32)
+    for di in (0, 1):
+        wi = (1 - fs[0] if di == 0 else fs[0])[:, None, None]
+        ii = np.minimum(los_[0] + di, nt[0] - 1)
+        for dj in (0, 1):
+            wj = (1 - fs[1] if dj == 0 else fs[1])[None, :, None]
+            jj = np.minimum(los_[1] + dj, nt[1] - 1)
+            for dk in (0, 1):
+                wk = (1 - fs[2] if dk == 0 else fs[2])[None, None, :]
+                kk = np.minimum(los_[2] + dk, nt[2] - 1)
+                m = cdfs[ii[:, None, None], jj[None, :, None],
+                         kk[None, None, :], b]
+                eq += wi * wj * wk * m
+
     out = alpha * eq + (1 - alpha) * x ** (1 - beta)
     return np.clip(out * 255.0, 0, 255)
 
