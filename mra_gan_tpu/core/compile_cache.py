@@ -1,0 +1,33 @@
+"""Persistent XLA compilation cache for the CLI entry points.
+
+The full CycleGAN train step takes ~20-40 s to compile on TPU (~45 s on
+CPU); the reference has no equivalent cost, so repeated CLI invocations
+(resume, inference, evaluation sweeps) would pay it every time. Enabling
+JAX's persistent compilation cache makes every invocation after the first
+load the compiled program from disk in ~1 s.
+
+Opt out with MRA_GAN_TPU_NO_COMPILE_CACHE=1; override the location with
+JAX_COMPILATION_CACHE_DIR (the standard JAX env var, honored by JAX itself).
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+
+def enable_compilation_cache() -> None:
+    if os.environ.get("MRA_GAN_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    import jax
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # JAX picks it up itself
+    cache_dir = Path(
+        os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
+    ) / "mra_gan_tpu" / "xla_cache"
+    try:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass  # cache is best-effort; never block the run

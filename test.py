@@ -130,6 +130,9 @@ def inference(opt):
 
 
 def main(argv=None):
+    from mra_gan_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     opt = TestOptions().parse(argv)
     return inference(opt)
 

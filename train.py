@@ -49,6 +49,9 @@ def config_from_opt(opt) -> CycleGANConfig:
 
 
 def main(argv=None):
+    from mra_gan_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     opt = TrainOptions().parse(argv)
     cfg = config_from_opt(opt)
     patch = tuple(int(p) for p in opt.patch_size)
