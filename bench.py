@@ -103,6 +103,25 @@ def main() -> None:
     except Exception:
         infer_secs = infer_secs_f16 = None
 
+    # throughput mode: batch 8 (the production configuration; same model,
+    # same step — amortizes the per-step bandwidth-bound tails)
+    try:
+        state8 = create_state(cfg, jax.random.PRNGKey(3), PATCH)
+        a8 = jax.random.uniform(jax.random.PRNGKey(4), (8, *PATCH, 1),
+                                minval=-1, maxval=1, dtype=jnp.float32)
+        b8 = jax.random.uniform(jax.random.PRNGKey(5), (8, *PATCH, 1),
+                                minval=-1, maxval=1, dtype=jnp.float32)
+        for i in range(2):
+            state8, m8 = step(state8, a8, b8, jax.random.PRNGKey(200 + i), 2e-4)
+        hard_sync(m8)
+        t0 = time.perf_counter()
+        for i in range(8):
+            state8, m8 = step(state8, a8, b8, jax.random.PRNGKey(300 + i), 2e-4)
+        hard_sync(m8)
+        batch8_pairs = round(8 * 8 / (time.perf_counter() - t0), 3)
+    except Exception:
+        batch8_pairs = None
+
     pairs_per_sec = BATCH * ITERS / dt
     print(json.dumps({
         "metric": "64^3-patch pairs/sec/chip (full CycleGAN train step, bf16)",
@@ -111,6 +130,7 @@ def main() -> None:
         "vs_baseline": round(pairs_per_sec / V100_PAIRS_PER_SEC_EST, 2),
         "inference_secs_per_volume_256x256x128": infer_secs,
         "inference_secs_per_volume_f16_output_wire": infer_secs_f16,
+        "batch8_pairs_per_sec": batch8_pairs,
     }))
 
 

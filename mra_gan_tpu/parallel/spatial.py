@@ -138,7 +138,11 @@ def sharded_generator_apply(
         f"depth {d} must be divisible by 4*{n} with shard depth >= 4")
     from jax.sharding import NamedSharding
 
-    x = jnp.asarray(volume, jnp.float32)[None, ..., None]
+    # bf16 upload: exact for a bf16-compute generator (its first op casts
+    # the input anyway) and halves host->device bytes; f32 nets get f32.
+    in_dtype = (jnp.bfloat16 if getattr(net, "dtype", jnp.float32)
+                == jnp.bfloat16 else jnp.float32)
+    x = jnp.asarray(volume, in_dtype)[None, ..., None]
     x = jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
     params = jax.device_put(params, NamedSharding(mesh, P()))
 

@@ -188,3 +188,22 @@ def test_dp_x_sp_train_step_matches_single_device():
                                        atol=1e-4, err_msg=f"step{i}:{k}")
     with pytest.raises(ValueError, match="not divisible"):
         step(sn, a_sh[:1], b_sh[:1], jax.random.PRNGKey(9), 2e-4)
+
+
+def test_sharded_generator_apply_bf16_net():
+    """bf16-compute generator: the bf16 upload is the net's own input cast,
+    so the sharded forward still equals the unsharded one."""
+    from mra_gan_tpu.models.networks import ResnetGenerator3D
+    from mra_gan_tpu.parallel.spatial import sharded_generator_apply
+
+    mesh = make_mesh(jax.devices()[:8])
+    net = ResnetGenerator3D(output_nc=1, ngf=4, n_blocks=2, dtype=jnp.bfloat16)
+    vol = np.random.RandomState(2).rand(32, 16, 16).astype(np.float32) * 2 - 1
+    x = jnp.asarray(vol, jnp.bfloat16)[None, ..., None]
+    params = net.init(jax.random.PRNGKey(0), x, train=False)
+    want = np.asarray(net.apply(params, x, train=False), np.float32)[0, ..., 0]
+    got = np.asarray(sharded_generator_apply(mesh, net, params, vol), np.float32)
+    # bf16 compute: pmean'd norm statistics reassociate reductions, so
+    # differences are bf16-rounding scale (1 ulp at 1.0 is ~8e-3)
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-2)
+    assert np.abs(got - want).mean() < 5e-3
