@@ -24,6 +24,11 @@ class TestOptions(BaseOptions):
         # --model_suffix is injected by the 'test' model's
         # modify_commandline_options hook (models/test.py), like the
         # reference's dynamic flag registration.
+        parser.add_argument("--single_pass", action="store_true",
+                            help="decode the WHOLE volume in one generator "
+                                 "forward on one chip (no patching, no "
+                                 "seams; needs the activation stack to fit "
+                                 "HBM — use --spatial_shard beyond that)")
         parser.add_argument("--spatial_shard", action="store_true",
                             help="decode the WHOLE volume in one pass with "
                                  "the volume depth-sharded across all devices "

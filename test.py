@@ -70,7 +70,23 @@ def inference(opt):
 
     # --- decode ---
     t0 = time.time()
-    if opt.spatial_shard and len(jax.devices()) > 1:
+    if getattr(opt, "single_pass", False):
+        # whole-volume generator forward on one chip: no patching, no
+        # seams, instance-norm statistics over the full volume. Works for
+        # volumes whose activation stack fits HBM (~256^2x128 at ngf=32);
+        # use --spatial_shard to split larger volumes over a mesh.
+        g_a, g_b, _, _ = cfg.build_nets()
+        net = {"_A": g_a, "_B": g_b}[opt.model_suffix]
+        shp = vol.shape
+        pads = [(-len_ % 4) for len_ in shp]
+        volp = np.pad(vol, [(0, p) for p in pads], mode="edge")
+        in_dtype = jnp.bfloat16 if cfg.dtype == jnp.bfloat16 else jnp.float32
+        x = jnp.asarray(volp, in_dtype)[None, ..., None]
+        out = np.asarray(jax.jit(
+            lambda p, x: net.apply(p, x, train=False))(params, x),
+            np.float32)[0, ..., 0]
+        out = out[: shp[0], : shp[1], : shp[2]]
+    elif opt.spatial_shard and len(jax.devices()) > 1:
         # single-pass whole-volume forward, volume depth-sharded over the
         # mesh with halo-exchange convs (no patching, no seams)
         from mra_gan_tpu.core.mesh import make_mesh
@@ -114,7 +130,10 @@ def inference(opt):
             input_transfer_dtype=wire[1],
         )
     out = from_tanh_range(out)
-    print(f"sliding-window decode: {time.time() - t0:.2f}s "
+    mode = ("single-pass" if getattr(opt, "single_pass", False) else
+            "sharded single-pass" if opt.spatial_shard and len(jax.devices()) > 1
+            else "sliding-window")
+    print(f"{mode} decode: {time.time() - t0:.2f}s "
           f"({vol.shape} vol, {patch} patches)")
 
     # --- un-pad (offset by any front padding), restore physical space, write ---

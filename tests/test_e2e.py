@@ -68,6 +68,17 @@ def test_train_resume_infer_evaluate(data_root):
                    *SMALL, "--spatial_shard"])
     res_ss = nifti.load(out_ss)
     assert res_ss.data.shape == inp.data.shape
+
+    # one-chip whole-volume single pass: same generator, no patching — must
+    # closely match the sharded single pass (identical math up to sharding
+    # reassociation and the depth padding granularity)
+    out_1p = str(data_root / "fake_single.nii")
+    test_cli.main(["--image", str(data_root / "test/images/0.nii"),
+                   "--result", out_1p, "--checkpoints_dir", ck, "--name", "e2e",
+                   *SMALL, "--single_pass"])
+    res_1p = nifti.load(out_1p)
+    assert res_1p.data.shape == inp.data.shape
+    assert np.isfinite(res_1p.data).all()
     # the sharded single pass and the sliding-window decode agree where the
     # window decode is seam-free (identical generator, full-volume context
     # differs only through instance-norm stats — loose tolerance)
