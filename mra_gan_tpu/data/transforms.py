@@ -196,6 +196,14 @@ def invert_intensity(data: np.ndarray) -> np.ndarray:
     return data.max() - data
 
 
+def align_to(image: NiftiImage, reference: NiftiImage) -> NiftiImage:
+    """Reference Align (utils/NiftiDataset.py:815-835): stamp the reference
+    volume's physical-space metadata (origin/spacing/direction — i.e. the
+    affine) onto the image, voxel data untouched."""
+    return NiftiImage(data=image.data, affine=reference.affine.copy(),
+                      descrip=getattr(image, "descrip", b""))
+
+
 def laplacian_sharpen(data: np.ndarray, sigma: float = 1.0) -> np.ndarray:
     """Laplacian-of-Gaussian sharpening (reference LaplacianRecursive,
     utils/NiftiDataset.py:707-727)."""

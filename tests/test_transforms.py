@@ -24,3 +24,16 @@ def test_adaptive_equalize_is_local():
     a, b = vol[2, 3, 4], vol[2, 3, 5]
     oa, ob = out[2, 3, 4], out[2, 3, 5]
     assert (a - b) * (oa - ob) >= 0
+
+
+def test_align_to_copies_affine_only():
+    from mra_gan_tpu.data.nifti import NiftiImage
+    from mra_gan_tpu.data.transforms import align_to
+
+    img = NiftiImage(data=np.arange(8, dtype=np.float32).reshape(2, 2, 2),
+                     affine=np.eye(4))
+    aff = np.diag([2.0, 2.0, 2.0, 1.0]); aff[:3, 3] = [1, 2, 3]
+    ref = NiftiImage(data=np.zeros((2, 2, 2), np.float32), affine=aff)
+    out = align_to(img, ref)
+    np.testing.assert_array_equal(out.data, img.data)
+    np.testing.assert_array_equal(out.affine, ref.affine)
