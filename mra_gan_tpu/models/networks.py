@@ -410,9 +410,18 @@ class ResnetGenerator3D(nn.Module):
                        cells_in=(2 if cells and i == 0 else 0))(h)
             h = _norm_act(h, self.norm, "relu", self.dtype, train)
         mult = 4
+        # named remat boundaries: under cycle_gan's --remat the checkpoint
+        # policy saves ONLY these (+ the apply input), so the backward
+        # recomputes one segment (stem+downs / trunk / ups+head) at a time —
+        # peak activation memory drops to the largest segment's working set.
+        # No-ops without jax.checkpoint; parameter tree unchanged.
+        from jax.ad_checkpoint import checkpoint_name
+
+        h = checkpoint_name(h, "g_trunk_in")
         for _ in range(self.n_blocks):
             h = ResnetBlock3D(self.ngf * mult, self.norm, self.use_dropout, bias,
                               ki, self.dtype)(h, train)
+        h = checkpoint_name(h, "g_trunk_out")
         for i in range(2):  # upsample
             mult = 2 ** (2 - i)
             last = i == 1

@@ -174,3 +174,31 @@ def test_uses_cells_gate():
     assert not CycleGANConfig().uses_cells((18, 18, 18))
     assert not CycleGANConfig(norm="batch").uses_cells((64, 64, 64))
     assert not CycleGANConfig(net_g="unet_custom").uses_cells((64, 64, 64))
+
+
+def test_remat_matches_baseline():
+    """--remat (jax.checkpoint around the generator applies) recomputes
+    instead of storing activations; metrics must match the plain step to
+    float tolerance over a few steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mra_gan_tpu.models.cycle_gan import (CycleGANConfig, create_state,
+                                              make_train_step)
+
+    patch = (12, 12, 12)
+    a = jax.random.uniform(jax.random.PRNGKey(1), (1, *patch, 1), minval=-1, maxval=1)
+    b = jax.random.uniform(jax.random.PRNGKey(2), (1, *patch, 1), minval=-1, maxval=1)
+    metrics = {}
+    for remat in (False, True):
+        cfg = CycleGANConfig(ngf=4, ndf=4, n_layers_d=1, pool_size=2,
+                             remat=remat)
+        state = create_state(cfg, jax.random.PRNGKey(0), patch)
+        step = jax.jit(make_train_step(cfg))
+        for i in range(3):
+            state, m = step(state, a, b, jax.random.PRNGKey(3 + i), 2e-4)
+        metrics[remat] = {k: float(v) for k, v in m.items()}
+    for k in metrics[False]:
+        np.testing.assert_allclose(metrics[True][k], metrics[False][k],
+                                   rtol=2e-2, atol=1e-4, err_msg=k)

@@ -45,6 +45,7 @@ def config_from_opt(opt) -> CycleGANConfig:
         beta1=getattr(opt, "beta1", 0.5),
         dynet_sizes=tuple(int(x) for x in opt.patch_size),
         dtype=get_policy(opt.precision).compute_dtype,
+        remat=getattr(opt, "remat", False),
     )
 
 
