@@ -1,10 +1,12 @@
 """Persistent XLA compilation cache for the CLI entry points.
 
-The full CycleGAN train step takes ~20-40 s to compile on TPU (~45 s on
-CPU); the reference has no equivalent cost, so repeated CLI invocations
-(resume, inference, evaluation sweeps) would pay it every time. Enabling
-JAX's persistent compilation cache makes every invocation after the first
-load the compiled program from disk in ~1 s.
+The full CycleGAN train step takes ~20-40 s to compile on TPU; the
+reference has no equivalent cost, so repeated CLI invocations (resume,
+inference, evaluation sweeps) would pay it every time. Enabling JAX's
+persistent compilation cache makes every accelerator invocation after the
+first load the compiled program from disk in ~1 s. (CPU runs are excluded:
+XLA:CPU AOT results are machine-feature-sensitive and CPU compiles are
+cheap.)
 
 Opt out with MRA_GAN_TPU_NO_COMPILE_CACHE=1; override the location with
 JAX_COMPILATION_CACHE_DIR (the standard JAX env var, honored by JAX itself).
@@ -22,6 +24,11 @@ def enable_compilation_cache() -> None:
 
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return  # JAX picks it up itself
+    if jax.default_backend() == "cpu":
+        # XLA:CPU caches AOT machine code keyed loosely on host features;
+        # reloading on a slightly different CPU risks SIGILL and CPU
+        # compiles are cheap anyway — cache only accelerator programs
+        return
     cache_dir = Path(
         os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
     ) / "mra_gan_tpu" / "xla_cache"

@@ -11,9 +11,11 @@ class TestOptions(BaseOptions):
     def initialize(self, parser):
         parser = BaseOptions.initialize(self, parser)
         parser.add_argument("--image", type=str, default="./Data_folder/test/images/0.nii",
-                            help="input volume (.nii/.nii.gz)")
+                            help="input volume (.nii/.nii.gz), or a "
+                                 "DIRECTORY of volumes to decode in batch")
         parser.add_argument("--result", type=str, default="./result.nii",
-                            help="path to the .nii result to save")
+                            help="path to the .nii result to save (a "
+                                 "directory when --image is a directory)")
         parser.add_argument("--phase", type=str, default="test")
         parser.add_argument("--which_epoch", type=str, default="latest",
                             help="which checkpoint epoch to load")

@@ -13,6 +13,7 @@ version of the reference's checkpoint-renaming instruction
 from __future__ import annotations
 
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -153,7 +154,33 @@ def main(argv=None):
 
     enable_compilation_cache()
     opt = TestOptions().parse(argv)
+    img_path = Path(opt.image)
+    if img_path.is_dir():
+        # batch mode: decode every NIfTI in the directory into the result
+        # directory (same filenames). Same-geometry volumes reuse the cached
+        # compiled decode, so throughput is ~per-volume decode time after
+        # the first. (The reference's test.py handles one image per run.)
+        out_dir = Path(opt.result)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        files = sorted(p for p in img_path.iterdir()
+                       if p.name.endswith((".nii", ".nii.gz")))
+        if not files:
+            raise SystemExit(f"no .nii/.nii.gz files in {img_path}")
+        for p in files:
+            sub = argparse_copy(opt)
+            sub.image = str(p)
+            sub.result = str(out_dir / p.name)
+            inference(sub)
+        return None
     return inference(opt)
+
+
+def argparse_copy(opt):
+    import argparse
+    import copy
+
+    new = argparse.Namespace(**copy.copy(vars(opt)))
+    return new
 
 
 if __name__ == "__main__":

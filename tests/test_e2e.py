@@ -182,3 +182,26 @@ def test_train_dp_x_sp_cli(data_root):
     train_cli.main(common + ["--space_devices", "4"])
     assert (data_root / "ck_dpsp/dpsp/ckpt_latest").exists()
     assert "cycle_A" in (data_root / "ck_dpsp/dpsp/loss_log.txt").read_text()
+
+
+def test_batch_directory_inference(data_root):
+    """test.py --image <dir> decodes every volume into the result dir."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import test as test_cli
+    import train as train_cli
+
+    ck = str(data_root / "ck_dir")
+    train_cli.main(["--data_path", str(data_root / "train"),
+                    "--checkpoints_dir", ck, "--name", "d", *SMALL,
+                    "--pool_size", "2", "--niter", "1", "--niter_decay", "0",
+                    "--save_epoch_freq", "1"])
+    out_dir = data_root / "batch_out"
+    test_cli.main(["--image", str(data_root / "train/images"),
+                   "--result", str(out_dir), "--checkpoints_dir", ck,
+                   "--name", "d", *SMALL, "--stride_inplane", "8",
+                   "--stride_layer", "8"])
+    for i in range(2):
+        res = nifti.load(out_dir / f"{i}.nii")
+        assert res.data.shape == (24, 24, 24)
+        assert np.isfinite(res.data).all()
