@@ -43,8 +43,14 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint at {p}")
         try:
             return self._ckptr.restore(p, template)
-        except Exception:
-            return self._restore_relayout(p, template)
+        except Exception as strict_err:
+            try:
+                return self._restore_relayout(p, template)
+            except Exception:
+                # the fallback only handles pool-layout mismatches; for
+                # anything else (corrupt files, version mismatch) surface
+                # the ORIGINAL strict-restore error, not the fallback's
+                raise strict_err
 
     def _restore_relayout(self, p, template: CycleGANState) -> CycleGANState:
         """Fallback for checkpoints whose ImagePool layout differs from the

@@ -113,6 +113,29 @@ def sharded_sliding_window(
     return out[: vshape[0], : vshape[1], : vshape[2]]
 
 
+def _upload_dtype(net):
+    """bf16 upload is exact for a bf16-compute generator (its first op casts
+    the input anyway) and halves host->device bytes; f32 nets get f32."""
+    return (jnp.bfloat16
+            if getattr(net, "dtype", jnp.float32) == jnp.bfloat16
+            else jnp.float32)
+
+
+def single_pass_apply(net, params, volume: np.ndarray) -> np.ndarray:
+    """Whole-volume generator forward on ONE chip: pad each dim to the
+    stride granularity (4) with edge values, forward, crop back — no
+    patching, no seams, instance-norm statistics over the full volume. The
+    single-device counterpart of ``sharded_generator_apply``; needs the
+    activation stack to fit HBM."""
+    shp = volume.shape
+    pads = [(-s) % 4 for s in shp]
+    volp = np.pad(np.asarray(volume, np.float32),
+                  [(0, p) for p in pads], mode="edge")
+    x = jnp.asarray(volp, _upload_dtype(net))[None, ..., None]
+    out = jax.jit(lambda p, xx: net.apply(p, xx, train=False))(params, x)
+    return np.asarray(out, np.float32)[0, ..., 0][:shp[0], :shp[1], :shp[2]]
+
+
 def sharded_generator_apply(
     mesh: Mesh,
     net,
@@ -138,11 +161,7 @@ def sharded_generator_apply(
         f"depth {d} must be divisible by 4*{n} with shard depth >= 4")
     from jax.sharding import NamedSharding
 
-    # bf16 upload: exact for a bf16-compute generator (its first op casts
-    # the input anyway) and halves host->device bytes; f32 nets get f32.
-    in_dtype = (jnp.bfloat16 if getattr(net, "dtype", jnp.float32)
-                == jnp.bfloat16 else jnp.float32)
-    x = jnp.asarray(volume, in_dtype)[None, ..., None]
+    x = jnp.asarray(volume, _upload_dtype(net))[None, ..., None]
     x = jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
     params = jax.device_put(params, NamedSharding(mesh, P()))
 
@@ -160,8 +179,9 @@ def shard_spatial_state(state, mesh: Mesh, axis_name: str, cfg=None):
     """Place a CycleGANState for the spatial train step: params/opt/step
     replicated, ImagePool buffers depth-sharded (they hold fakes, which live
     depth-sharded inside the step). Pools that ``create_state`` allocated in
-    the single-chip step's internal S2D(4) cell layout are converted to the
-    plain layout the spatial step uses (pass ``cfg`` to enable this)."""
+    the single-chip step's internal S2D(4) cell layout are auto-detected by
+    shape and converted to the plain layout the spatial step uses; ``cfg``
+    only refines the channel counts (defaults assume 1-channel volumes)."""
     from jax.sharding import NamedSharding
 
     from ..models.cycle_gan import PoolState
@@ -171,7 +191,11 @@ def shard_spatial_state(state, mesh: Mesh, axis_name: str, cfg=None):
 
     def _pool(p, channels):
         imgs = p.images
-        if cfg is not None and imgs.shape[-1] == 64 * channels:
+        # create_state may have allocated the pool in the single-chip
+        # step's S2D(4) cell layout (last dim = 64*channels); the spatial
+        # step stores plain-layout fakes, so convert. Detectable from the
+        # shape alone — plain pools have `channels` lanes, cell pools 64x.
+        if imgs.shape[-1] == 64 * channels:
             from ..ops.s2d import depth_to_space
 
             imgs = depth_to_space(imgs, 4)

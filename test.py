@@ -34,20 +34,28 @@ from mra_gan_tpu.models.cycle_gan import make_generate_fn
 from mra_gan_tpu.options import TestOptions
 
 
-def inference(opt):
+def load_generator(opt):
+    """Restore the requested generator once: (cfg, jitted forward, params).
+    Raw restore — inference must not depend on the discriminator/optimizer
+    config the model was trained with."""
     from train import config_from_opt
 
     cfg = config_from_opt(opt)
-    patch = tuple(int(p) for p in opt.patch_size)
-
-    # --- load generator weights (raw restore: inference must not depend on
-    # the discriminator/optimizer config the model was trained with) ---
     ckpt = CheckpointManager(opt.checkpoints_dir, opt.name)
     tree = ckpt.restore_raw(opt.which_epoch)
     which = {"_A": "g_a", "_B": "g_b"}[opt.model_suffix]
     gen = make_generate_fn(cfg, which)
     params = jax.tree.map(jnp.asarray, tree["g_params"][which])
     gen_fn = jax.jit(lambda x: gen(params, x))
+    return cfg, gen_fn, params
+
+
+def inference(opt, loaded=None):
+    # `loaded` lets batch (directory) mode restore the checkpoint and build
+    # gen_fn ONCE — the decode-program cache keys on id(gen_fn), so reusing
+    # it is what makes same-geometry volumes decode without re-tracing
+    cfg, gen_fn, params = loaded if loaded is not None else load_generator(opt)
+    patch = tuple(int(p) for p in opt.patch_size)
 
     # --- read + preprocess (legacy convention: 0-255 then [-1,1],
     #     reference test.py:56,152) ---
@@ -72,21 +80,13 @@ def inference(opt):
     # --- decode ---
     t0 = time.time()
     if getattr(opt, "single_pass", False):
-        # whole-volume generator forward on one chip: no patching, no
-        # seams, instance-norm statistics over the full volume. Works for
-        # volumes whose activation stack fits HBM (~256^2x128 at ngf=32);
-        # use --spatial_shard to split larger volumes over a mesh.
+        # whole-volume generator forward on one chip (~256^2x128 at ngf=32
+        # fits; use --spatial_shard to split larger volumes over a mesh)
+        from mra_gan_tpu.parallel.spatial import single_pass_apply
+
         g_a, g_b, _, _ = cfg.build_nets()
         net = {"_A": g_a, "_B": g_b}[opt.model_suffix]
-        shp = vol.shape
-        pads = [(-len_ % 4) for len_ in shp]
-        volp = np.pad(vol, [(0, p) for p in pads], mode="edge")
-        in_dtype = jnp.bfloat16 if cfg.dtype == jnp.bfloat16 else jnp.float32
-        x = jnp.asarray(volp, in_dtype)[None, ..., None]
-        out = np.asarray(jax.jit(
-            lambda p, x: net.apply(p, x, train=False))(params, x),
-            np.float32)[0, ..., 0]
-        out = out[: shp[0], : shp[1], : shp[2]]
+        out = single_pass_apply(net, params, vol)
     elif opt.spatial_shard and len(jax.devices()) > 1:
         # single-pass whole-volume forward, volume depth-sharded over the
         # mesh with halo-exchange convs (no patching, no seams)
@@ -114,11 +114,14 @@ def inference(opt):
     else:
         # bfloat16 upload is only a no-op when the generator computes in
         # bfloat16 (its first op casts the input anyway); under
-        # --precision float32 'exact' must upload float32
+        # --precision float32 every mode must upload float32 — an f16
+        # UPLOAD would perturb the input by ~2e-4, which instance norms
+        # amplify to O(1e-2) output drift (see sliding_window docstring).
+        # Only the DOWNLOAD leg is ever f16.
         bf16_net = getattr(opt, "precision", "bfloat16") == "bfloat16"
-        up = jnp.bfloat16 if bf16_net else None
+        up = jnp.bfloat16 if bf16_net else np.float32
         wire = {"exact": (np.float32, up),
-                "f32": (np.float32, None),
+                "f32": (np.float32, np.float32),
                 "f16": (np.float16, up)}[getattr(opt, "wire", "exact")]
         out = sliding_window_inference(
             vol,
@@ -150,10 +153,11 @@ def inference(opt):
 
 
 def main(argv=None):
+    # parse before any backend-initializing call (see train.py main)
+    opt = TestOptions().parse(argv)
     from mra_gan_tpu.core.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    opt = TestOptions().parse(argv)
     img_path = Path(opt.image)
     if img_path.is_dir():
         # batch mode: decode every NIfTI in the directory into the result
@@ -166,21 +170,16 @@ def main(argv=None):
                        if p.name.endswith((".nii", ".nii.gz")))
         if not files:
             raise SystemExit(f"no .nii/.nii.gz files in {img_path}")
+        import argparse
+
+        loaded = load_generator(opt)
         for p in files:
-            sub = argparse_copy(opt)
+            sub = argparse.Namespace(**vars(opt))
             sub.image = str(p)
             sub.result = str(out_dir / p.name)
-            inference(sub)
+            inference(sub, loaded)
         return None
     return inference(opt)
-
-
-def argparse_copy(opt):
-    import argparse
-    import copy
-
-    new = argparse.Namespace(**copy.copy(vars(opt)))
-    return new
 
 
 if __name__ == "__main__":

@@ -56,6 +56,17 @@ def test_train_resume_infer_evaluate(data_root):
     assert res.data.shape == inp.data.shape
     np.testing.assert_allclose(res.affine, inp.affine, atol=1e-5)
 
+    # --wire f16 on a float32 net must only quantize the DOWNLOAD leg
+    # (an f16 upload would be amplified ~100x by the instance norms)
+    out_w = str(data_root / "fake_w16.nii")
+    test_cli.main(["--image", str(data_root / "test/images/0.nii"),
+                   "--result", out_w, "--checkpoints_dir", ck, "--name", "e2e",
+                   *SMALL, "--stride_inplane", "8", "--stride_layer", "8",
+                   "--wire", "f16"])
+    res_w = nifti.load(out_w)
+    # pure f16 output quantization on [-1,1] rescaled to 0-255: <= ~0.1
+    assert float(np.abs(res_w.data - res.data).max()) < 0.2
+
     metrics = eval_cli.main(["--pred", out,
                              "--target", str(data_root / "test/images/0.nii")])
     assert set(metrics) == {"ssim", "psnr", "mae", "pearson_r"}

@@ -50,10 +50,13 @@ def config_from_opt(opt) -> CycleGANConfig:
 
 
 def main(argv=None):
+    # parse BEFORE any backend-initializing call: on the dev image the
+    # first device query claims the (exclusive) tunneled TPU for minutes,
+    # which --help or a bad flag must never do
+    opt = TrainOptions().parse(argv)
     from mra_gan_tpu.core.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    opt = TrainOptions().parse(argv)
     cfg = config_from_opt(opt)
     patch = tuple(int(p) for p in opt.patch_size)
 
@@ -87,6 +90,9 @@ def main(argv=None):
             f"--data_parallel requires batch_size ({opt.batch_size}) divisible "
             f"by the device count ({len(jax.devices())}); pick e.g. "
             f"--batch_size {-(-opt.batch_size // len(jax.devices())) * len(jax.devices())}")
+    if getattr(opt, "spatial_parallel", False) and len(jax.devices()) <= 1:
+        print("WARNING: --spatial_parallel ignored — only one device is "
+              "visible; running the single-chip step")
     if getattr(opt, "spatial_parallel", False) and len(jax.devices()) > 1:
         from mra_gan_tpu.core.mesh import DATA_AXIS, SPACE_AXIS, make_mesh
         from mra_gan_tpu.parallel.spatial import (make_spatial_train_step,
@@ -94,15 +100,22 @@ def main(argv=None):
 
         total = len(jax.devices())
         both = opt.data_parallel
+        ns = getattr(opt, "space_devices", 0)
+        if ns > total:
+            raise SystemExit(
+                f"--space_devices {ns} exceeds the device count ({total})")
         if both:
-            ns = getattr(opt, "space_devices", 0)
             if ns <= 0 or total % ns:
                 raise SystemExit(
                     "--data_parallel + --spatial_parallel needs "
                     f"--space_devices dividing the device count ({total})")
+            devices = jax.devices()
         else:
-            ns = getattr(opt, "space_devices", 0) or total
-        nd = total // ns
+            # spatial-only: use the first ns devices (the rest stay idle
+            # rather than silently replicating identical work)
+            ns = ns or total
+            devices = jax.devices()[:ns]
+        nd = len(devices) // ns
         if int(patch[0]) % (4 * ns):
             raise SystemExit(
                 f"--spatial_parallel requires patch depth ({patch[0]}) "
@@ -111,7 +124,7 @@ def main(argv=None):
             raise SystemExit(
                 f"batch_size ({opt.batch_size}) must be divisible by the "
                 f"data-axis size ({nd})")
-        mesh = make_mesh(data=nd, space=ns)
+        mesh = make_mesh(devices, data=nd, space=ns)
         state = shard_spatial_state(state, mesh, SPACE_AXIS, cfg)
         step, vol_sh = make_spatial_train_step(
             cfg, mesh, SPACE_AXIS, data_axis=DATA_AXIS if both else None)
