@@ -4,11 +4,14 @@ offers visual inspection (reference README.md:85-92); this is the
 quantitative counterpart BASELINE.md's contract requires.
 
 Usage: python evaluate.py --pred fake_B.nii --target real_B.nii [--mask-fg]
+       python evaluate.py --pred fakes_dir/ --target reals_dir/   (batch:
+       pairs matched by filename; prints per-file lines + a 'mean' row)
 """
 from __future__ import annotations
 
 import argparse
 import json
+from pathlib import Path
 
 import numpy as np
 
@@ -17,32 +20,55 @@ from mra_gan_tpu.data.transforms import resample_to_reference
 from mra_gan_tpu.utils.metrics import mae, pearson_r, psnr, ssim3d
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--pred", required=True, help="synthesized volume (.nii)")
-    p.add_argument("--target", required=True, help="reference volume (.nii)")
-    p.add_argument("--mask-fg", action="store_true",
-                   help="restrict intensity metrics to target>0 foreground")
-    args = p.parse_args(argv)
-
-    pred = nifti.load(args.pred)
-    targ = nifti.load(args.target)
+def _evaluate_pair(pred_path, targ_path, mask_fg: bool) -> dict:
+    pred = nifti.load(pred_path)
+    targ = nifti.load(targ_path)
     if pred.data.shape != targ.data.shape:
         pred = resample_to_reference(pred, targ)
     a = pred.data.astype(np.float32)
     b = targ.data.astype(np.float32)
-    if args.mask_fg:
+    if mask_fg:
         m = b > 0
         a_m, b_m = a[m], b[m]
     else:
         a_m, b_m = a, b
-
-    out = {
+    return {
         "ssim": float(ssim3d(a, b)),
         "psnr": float(psnr(a_m, b_m)),
         "mae": float(mae(a_m, b_m)),
         "pearson_r": float(pearson_r(a_m, b_m)),
     }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--pred", required=True,
+                   help="synthesized volume (.nii), or a directory of them")
+    p.add_argument("--target", required=True,
+                   help="reference volume (.nii), or a directory (pairs "
+                        "matched by filename)")
+    p.add_argument("--mask-fg", action="store_true",
+                   help="restrict intensity metrics to target>0 foreground")
+    args = p.parse_args(argv)
+
+    pred_path, targ_path = Path(args.pred), Path(args.target)
+    if pred_path.is_dir():
+        files = sorted(f for f in pred_path.iterdir()
+                       if f.name.endswith((".nii", ".nii.gz"))
+                       and (targ_path / f.name).exists())
+        if not files:
+            raise SystemExit(
+                f"no matching .nii pairs between {pred_path} and {targ_path}")
+        rows = []
+        for f in files:
+            row = _evaluate_pair(f, targ_path / f.name, args.mask_fg)
+            print(json.dumps({"file": f.name, **row}))
+            rows.append(row)
+        out = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+        print(json.dumps({"file": "mean", **out}))
+        return out
+
+    out = _evaluate_pair(pred_path, targ_path, args.mask_fg)
     print(json.dumps(out))
     return out
 

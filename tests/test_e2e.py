@@ -216,3 +216,15 @@ def test_batch_directory_inference(data_root):
         res = nifti.load(out_dir / f"{i}.nii")
         assert res.data.shape == (24, 24, 24)
         assert np.isfinite(res.data).all()
+
+
+def test_evaluate_directory_mode(data_root):
+    """evaluate.py with directories: per-file rows + a mean row."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import evaluate as eval_cli
+
+    out = eval_cli.main(["--pred", str(data_root / "train/images"),
+                         "--target", str(data_root / "train/labels")])
+    assert set(out) == {"ssim", "psnr", "mae", "pearson_r"}
+    assert np.isfinite(list(out.values())).all()
