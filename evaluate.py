@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 from pathlib import Path
 
 import numpy as np
@@ -53,16 +54,31 @@ def main(argv=None):
 
     pred_path, targ_path = Path(args.pred), Path(args.target)
     if pred_path.is_dir():
-        files = sorted(f for f in pred_path.iterdir()
-                       if f.name.endswith((".nii", ".nii.gz"))
-                       and (targ_path / f.name).exists())
-        if not files:
+        def _stem(name):
+            # match basenames modulo the .nii/.nii.gz suffix difference
+            return name[:-7] if name.endswith(".nii.gz") else name[:-4]
+
+        def _index(d):
+            return {_stem(f.name): f for f in sorted(d.iterdir())
+                    if f.name.endswith((".nii", ".nii.gz"))}
+
+        preds, targs = _index(pred_path), _index(targ_path)
+        stems = sorted(preds.keys() & targs.keys())
+        # never silently average over a subset: name every unmatched file
+        for side, only in (("prediction", sorted(preds.keys() - targs.keys())),
+                           ("target", sorted(targs.keys() - preds.keys()))):
+            if only:
+                print(f"WARNING: {len(only)} {side} file(s) without a "
+                      f"counterpart, excluded from the mean: "
+                      f"{', '.join(only[:10])}"
+                      f"{' ...' if len(only) > 10 else ''}", file=sys.stderr)
+        if not stems:
             raise SystemExit(
                 f"no matching .nii pairs between {pred_path} and {targ_path}")
         rows = []
-        for f in files:
-            row = _evaluate_pair(f, targ_path / f.name, args.mask_fg)
-            print(json.dumps({"file": f.name, **row}))
+        for s in stems:
+            row = _evaluate_pair(preds[s], targs[s], args.mask_fg)
+            print(json.dumps({"file": preds[s].name, **row}))
             rows.append(row)
         out = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
         print(json.dumps({"file": "mean", **out}))

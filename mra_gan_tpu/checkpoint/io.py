@@ -69,35 +69,75 @@ class CheckpointManager:
 
         raw = self.restore_raw(str(p.name).replace("ckpt_", ""))
 
-        def _adopt(tmpl, saved, what):
-            t_leaves, treedef = jax.tree.flatten(tmpl)
-            s_leaves = jax.tree.leaves(saved)
-            if len(t_leaves) != len(s_leaves):
-                raise ValueError(
-                    f"checkpoint {what} has {len(s_leaves)} arrays, expected "
-                    f"{len(t_leaves)} — different model/optimizer config")
+        def _place(s, t):
+            """Adopt a saved leaf with the TEMPLATE's dtype and sharding —
+            train.py restores AFTER shard_spatial_state, so under
+            --spatial_parallel / --data_parallel the template's leaves carry
+            mesh shardings that the restored state must keep (otherwise the
+            jitted shard_map step would reshard, or fail, on every step)."""
+            arr = jnp.asarray(s, t.dtype)
+            sharding = getattr(t, "sharding", None)
+            if sharding is not None:
+                arr = jax.device_put(arr, sharding)
+            return arr
+
+        def _norm_path(kp):
+            """Key path as a tuple of names, erasing the container kind —
+            the raw restore turns namedtuples (optimizer states) into plain
+            dicts, so DictKey('mu') must compare equal to GetAttrKey('mu')."""
             out = []
-            for t, s in zip(t_leaves, s_leaves):
+            for k in kp:
+                for attr in ("key", "name", "idx"):
+                    if hasattr(k, attr):
+                        out.append(str(getattr(k, attr)))
+                        break
+                else:
+                    out.append(str(k))
+            return tuple(out)
+
+        def _adopt(tmpl, saved, what):
+            """Adopt saved leaves into the template by KEY PATH — never
+            positionally: identically shaped convs in renamed/reordered
+            modules must not silently restore into the wrong slot."""
+            t_flat, treedef = jax.tree_util.tree_flatten_with_path(tmpl)
+            s_by_path = {_norm_path(kp): leaf for kp, leaf in
+                         jax.tree_util.tree_flatten_with_path(saved)[0]}
+            if len(s_by_path) != len(t_flat):
+                raise ValueError(
+                    f"checkpoint {what} has {len(s_by_path)} arrays, expected "
+                    f"{len(t_flat)} — different model/optimizer config")
+            out = []
+            for kp, t in t_flat:
+                key = _norm_path(kp)
+                if key not in s_by_path:
+                    raise ValueError(
+                        f"checkpoint {what} is missing key path "
+                        f"{jax.tree_util.keystr(kp)} — different module "
+                        f"layout")
+                s = s_by_path[key]
                 if tuple(np.shape(s)) != tuple(np.shape(t)):
                     raise ValueError(
                         f"checkpoint {what} shape {np.shape(s)} != template "
-                        f"{np.shape(t)}")
-                out.append(jnp.asarray(s, t.dtype))
-            return jax.tree.unflatten(treedef, out)
+                        f"{np.shape(t)} at {jax.tree_util.keystr(kp)}")
+                out.append(_place(s, t))
+            return jax.tree_util.tree_unflatten(treedef, out)
 
         def _pool(tmpl: PoolState, saved, which):
             if tuple(np.shape(saved["images"])) == tuple(tmpl.images.shape):
                 return PoolState(
-                    images=jnp.asarray(saved["images"], tmpl.images.dtype),
-                    count=jnp.asarray(saved["count"], jnp.int32))
+                    images=_place(saved["images"], tmpl.images),
+                    count=_place(saved["count"], tmpl.count))
             warnings.warn(
                 f"checkpoint {which} buffer layout {np.shape(saved['images'])}"
                 f" differs from this run's {tuple(tmpl.images.shape)} "
                 "(single-chip cell layout vs spatial-parallel plain layout); "
                 "pool history reset — training semantics re-fill it within "
                 f"pool_size steps")
-            return PoolState(images=jnp.zeros_like(tmpl.images),
-                             count=jnp.zeros((), jnp.int32))
+            return PoolState(images=_place(jnp.zeros(tmpl.images.shape,
+                                                     tmpl.images.dtype),
+                                           tmpl.images),
+                             count=_place(jnp.zeros((), jnp.int32),
+                                          tmpl.count))
 
         return template.replace(
             g_params=_adopt(template.g_params, raw["g_params"], "g_params"),
@@ -106,18 +146,25 @@ class CheckpointManager:
             opt_d=_adopt(template.opt_d, raw["opt_d"], "opt_d"),
             pool_fake_a=_pool(template.pool_fake_a, raw["pool_fake_a"], "pool_fake_a"),
             pool_fake_b=_pool(template.pool_fake_b, raw["pool_fake_b"], "pool_fake_b"),
-            step=jnp.asarray(raw["step"], jnp.int32),
+            step=_place(raw["step"], template.step),
         )
 
     def restore_raw(self, epoch):
         """Restore the saved pytree without a template (plain dicts/arrays) —
         used by inference to pull just the generators regardless of the
-        discriminator/optimizer configuration used in training."""
+        discriminator/optimizer configuration used in training. Arrays come
+        back as host numpy: checkpoints written by a sharded run (e.g.
+        --spatial_parallel) record mesh shardings that cannot be
+        re-materialized template-free in a different process/device
+        topology, so every leaf is restored by value instead."""
         p = self.path(epoch)
         if not p.exists():
             raise FileNotFoundError(f"no checkpoint at {p}")
         with ocp.PyTreeCheckpointer() as ckptr:
-            return ckptr.restore(p)
+            meta = ckptr.metadata(p).item_metadata.tree
+            restore_args = jax.tree.map(
+                lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+            return ckptr.restore(p, restore_args=restore_args)
 
     def has(self, epoch) -> bool:
         return self.path(epoch).exists()

@@ -121,6 +121,13 @@ def _upload_dtype(net):
             else jnp.float32)
 
 
+# One jitted apply per generator object: jax.jit caches compiled
+# executables on FUNCTION identity + shapes, so building a fresh lambda per
+# call (as directory batch mode would) re-traces every volume. The entry
+# keeps the net alive so its id can't be recycled.
+_SINGLE_PASS_JIT: dict = {}
+
+
 def single_pass_apply(net, params, volume: np.ndarray) -> np.ndarray:
     """Whole-volume generator forward on ONE chip: pad each dim to the
     stride granularity (4) with edge values, forward, crop back — no
@@ -132,7 +139,10 @@ def single_pass_apply(net, params, volume: np.ndarray) -> np.ndarray:
     volp = np.pad(np.asarray(volume, np.float32),
                   [(0, p) for p in pads], mode="edge")
     x = jnp.asarray(volp, _upload_dtype(net))[None, ..., None]
-    out = jax.jit(lambda p, xx: net.apply(p, xx, train=False))(params, x)
+    if id(net) not in _SINGLE_PASS_JIT:
+        _SINGLE_PASS_JIT[id(net)] = (
+            net, jax.jit(lambda p, xx: net.apply(p, xx, train=False)))
+    out = _SINGLE_PASS_JIT[id(net)][1](params, x)
     return np.asarray(out, np.float32)[0, ..., 0][:shp[0], :shp[1], :shp[2]]
 
 
