@@ -105,8 +105,22 @@ def _register_level(fixed, moving, params, lr, shape, n_iters=100,
     n_total = int(np.prod(shape))
     n_sample = max(1024, int(n_total * sample_frac))
 
-    def loss_fn(p, key):
-        grid = _transform_grid(shape, p, center)  # (3, N)
+    # Per-block step scaling: Adam's per-element normalization walks every
+    # parameter at ~lr per iteration regardless of its natural scale, but a
+    # useful matrix perturbation is ~0.02 (a degree or two of rotation)
+    # while a useful translation is ~1 voxel. Optimizing the raw 12-vector
+    # lets the 9 matrix entries wander 50x too fast on the noisy sampled-MI
+    # gradient and overfit the coarse pyramid levels (measured: |A-I| blown
+    # to 0.4 for a 3-degree ground truth). Internally optimize q with
+    # params = q * block_scale so one Adam step moves each block by a
+    # sensible amount.
+    if params.shape[0] == 6:
+        block_scale = jnp.array([0.02] * 3 + [1.0] * 3, jnp.float32)
+    else:
+        block_scale = jnp.array([0.02] * 9 + [1.0] * 3, jnp.float32)
+
+    def loss_fn(q, key):
+        grid = _transform_grid(shape, q * block_scale, center)  # (3, N)
         idx = jax.random.randint(key, (n_sample,), 0, n_total)
         f = fixed01.ravel()[idx]
         m = _trilinear_sample(moving01, grid[:, idx])
@@ -117,14 +131,15 @@ def _register_level(fixed, moving, params, lr, shape, n_iters=100,
     opt = optax.adam(lr)
 
     def body(carry, key):
-        p, opt_state = carry
-        loss, g = jax.value_and_grad(loss_fn)(p, key)
-        updates, opt_state = opt.update(g, opt_state, p)
-        return (optax.apply_updates(p, updates), opt_state), loss
+        q, opt_state = carry
+        loss, g = jax.value_and_grad(loss_fn)(q, key)
+        updates, opt_state = opt.update(g, opt_state, q)
+        return (optax.apply_updates(q, updates), opt_state), loss
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_iters)
-    (p, _), losses = jax.lax.scan(body, (params, opt.init(params)), keys)
-    return p, losses
+    q0 = params / block_scale
+    (q, _), losses = jax.lax.scan(body, (q0, opt.init(q0)), keys)
+    return q * block_scale, losses
 
 
 def center_of_mass_init(fixed: np.ndarray, moving: np.ndarray) -> np.ndarray:
@@ -169,7 +184,9 @@ def register_affine(
         p, losses = _register_level(
             jnp.asarray(f), jnp.asarray(m), jnp.asarray(scaled),
             lr / (li + 1), tuple(f.shape), n_iters=iters_per_level, seed=seed + li)
-        params = np.asarray(p)
+        # np.array (copy): np.asarray of a jax array is a read-only view,
+        # and the rescale below mutates in place
+        params = np.array(p)
         if params.shape[0] == 6:
             params[3:6] *= level
         else:

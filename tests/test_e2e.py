@@ -228,3 +228,54 @@ def test_evaluate_directory_mode(data_root):
                          "--target", str(data_root / "train/labels")])
     assert set(out) == {"ssim", "psnr", "mae", "pearson_r"}
     assert np.isfinite(list(out.values())).all()
+
+
+def test_organize_register_default_path(tmp_path):
+    """The organizer's DEFAULT path (--register) end-to-end on structured,
+    deliberately misaligned volumes: after organizing, each written image
+    must be realigned to its label (reference
+    organize_folder_structure.py:199-200 registers label->reference then
+    image->label)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import organize_folder_structure as org
+    from scipy import ndimage as ndi
+
+    rs = np.random.RandomState(2)
+    shape = (24, 24, 24)
+    ii, jj, kk = np.meshgrid(*[np.arange(s, dtype=np.float32) for s in shape],
+                             indexing="ij")
+
+    def scene(shift):
+        vol = ndi.gaussian_filter(rs.rand(*shape).astype(np.float32), 2.5) * 20
+        for c, amp in (((8, 14, 10), 80), ((16, 9, 15), 60), ((12, 17, 7), 70)):
+            r2 = ((ii - c[0] - shift[0]) ** 2 + (jj - c[1] - shift[1]) ** 2
+                  + (kk - c[2] - shift[2]) ** 2)
+            vol += amp * np.exp(-r2 / 10.0)
+        return vol
+
+    for sub in ("raw/images", "raw/labels"):
+        (tmp_path / sub).mkdir(parents=True)
+    for i in range(2):
+        nifti.save(nifti.NiftiImage(data=scene((2.0, -1.5, 1.0)),
+                                    affine=np.eye(4)),
+                   tmp_path / f"raw/images/{i}.nii")
+        nifti.save(nifti.NiftiImage(data=scene((0.0, 0.0, 0.0)),
+                                    affine=np.eye(4)),
+                   tmp_path / f"raw/labels/{i}.nii")
+
+    out_root = tmp_path / "organized"
+    org.main(["--images", str(tmp_path / "raw/images"),
+              "--labels", str(tmp_path / "raw/labels"),
+              "--out", str(out_root), "--split", "1", "--iters", "80"])
+
+    for split in ("train", "test"):
+        img = nifti.load(out_root / split / "images/0.nii").data
+        lbl = nifti.load(out_root / split / "labels/0.nii").data
+        assert np.isfinite(img).all() and np.isfinite(lbl).all()
+        sl = tuple(slice(4, -4) for _ in range(3))
+        r = np.corrcoef(np.asarray(img)[sl].ravel(),
+                        np.asarray(lbl)[sl].ravel())[0, 1]
+        # the raw pairs start visibly misaligned (r ~ 0.5-0.7 between the
+        # shifted scenes); registration must bring them into alignment
+        assert r > 0.93, f"{split}: post-registration correlation {r:.3f}"
