@@ -81,12 +81,13 @@ def zscore_normalize(data: np.ndarray, nonzero: bool = False) -> np.ndarray:
 
 
 def rescale_0_255(data: np.ndarray) -> np.ndarray:
-    """Legacy ``Normalization``: window to mean±3*sigma then rescale to
-    [0, 255] (reference utils/NiftiDataset.py:639-651)."""
+    """Legacy ``Normalization`` (reference utils/NiftiDataset.py:639-654):
+    z-score (NormalizeImageFilter) then RescaleIntensity to [0, 255]. The
+    min-max rescale is invariant to the affine z-score, so the chain is
+    exactly a plain min-max rescale — no clipping (an earlier mean±3σ window
+    here was a deviation; fixed and pinned by tests/test_infer_parity.py)."""
     x = data.astype(np.float32)
-    mu, sigma = float(x.mean()), float(x.std())
-    lo, hi = mu - 3 * sigma, mu + 3 * sigma
-    x = np.clip(x, lo, hi)
+    lo, hi = float(x.min()), float(x.max())
     span = hi - lo
     if span <= 0:
         return np.zeros_like(x)

@@ -56,9 +56,11 @@ def sliding_window_inference(
     transfer_dtype=np.float32,
     input_transfer_dtype=None,
 ) -> np.ndarray:
-    """volume: (D, H, W) float32 in the generator's input range.
-    generate_fn: jittable (B, pd, ph, pw, 1) -> (B, pd, ph, pw, 1).
-    Returns (D, H, W) float32 in the generator's output range.
+    """volume: (X, Y, Z) float32 (NIfTI axis order) in the generator's input
+    range; stride_inplane covers X/Y and stride_layer covers Z, like the
+    reference. generate_fn: jittable (B, px, py, pz, 1) -> same shape.
+    Returns (X, Y, Z) float32 in the generator's output range. Streaming
+    (below) chunks along the leading X axis.
 
     When every stride divides its patch dim (the reference's default 64/32),
     the decode uses the overlap-add fast path: a regular patch grid, one scan
@@ -83,9 +85,16 @@ def sliding_window_inference(
     recommended: f16(x) != bf16(x), so the tiny input perturbation is
     amplified by the network's instance norms into O(1e-2) output drift.)"""
     patch = tuple(int(p) for p in patch_size)
-    strides = (int(stride_layer), int(stride_inplane), int(stride_inplane))
+    # volumes arrive in NIfTI (X, Y, Z) axis order (data/nifti.py): the
+    # reference strides X/Y by stride_inplane and Z by stride_layer
+    # (reference test.py:111-113), so stride_layer maps to the LAST axis
+    strides = (int(stride_inplane), int(stride_inplane), int(stride_layer))
     if all(p % s == 0 for p, s in zip(patch, strides)):
-        if volume.shape[0] > patch[0]:
+        # streaming chunks the leading axis in stride-thick slabs, which
+        # requires its clamped grid to be purely regular (no flush start);
+        # otherwise the monolithic fast path handles the flush classes
+        if (volume.shape[0] > patch[0]
+                and (volume.shape[0] - patch[0]) % strides[0] == 0):
             return _streaming_overlap_add(volume, generate_fn, patch, strides,
                                           blend, batch, transfer_dtype,
                                           input_transfer_dtype)
@@ -101,16 +110,31 @@ def sliding_window_inference(
 _DECODE_CACHE: dict = {}
 
 
-def _pad_geometry(vshape, patch, strides):
-    """Pad sizes to a regular grid (size = patch + k*stride), grid counts,
-    and per-axis overlap factors."""
-    padded = []
-    for v, p, s in zip(vshape, patch, strides):
-        k = max(0, -(-(v - p) // s))
-        padded.append(p + k * s)
-    ns = [(pd - p) // s + 1 for pd, p, s in zip(padded, patch, strides)]
-    rs = [p // s for p, s in zip(patch, strides)]
-    return padded, ns, rs
+def _axis_classes(size, patch, stride):
+    """Per-axis decomposition of the reference's clamped grid
+    (compute_grid_starts) into DENSE accumulation classes: within a class
+    the selected patches are non-overlapping and contiguous (spacing ==
+    patch), so their outputs concatenate into one dense slab — the
+    reshape-add trick. Regular starts split into patch//stride residue
+    classes; the clamped flush start (present when stride doesn't divide
+    size-patch) is its own singleton class. Returns (starts, classes) with
+    classes = [(first_idx, idx_step, count, offset), ...] indexing into
+    starts. Using the clamped grid — not a zero-padded regular grid — keeps
+    the decode binary-identical to the reference decoder (reference
+    test.py:111-145): every patch sees only real voxels, which matters
+    because the generator's instance-norm statistics are patch-global."""
+    starts = compute_grid_starts(size, patch, stride)
+    rs = max(1, patch // stride)
+    n_reg = len(starts)
+    if starts[-1] != (len(starts) - 1) * stride:
+        n_reg -= 1  # last start is flush-clamped, not on the regular comb
+    classes = []
+    for a in range(min(rs, n_reg)):
+        cnt = len(range(a, n_reg, rs))
+        classes.append((a, rs, cnt, a * stride))
+    if n_reg < len(starts):
+        classes.append((n_reg, 1, 1, starts[-1]))
+    return starts, classes
 
 
 def _weight_volume(patch, strides, blend, padded, starts, win):
@@ -131,13 +155,17 @@ def _overlap_add_inference(volume, generate_fn, patch, strides, blend, batch,
                            transfer_dtype=np.float32, input_transfer_dtype=None):
     in_dtype = transfer_dtype if input_transfer_dtype is None else input_transfer_dtype
     vshape = volume.shape
-    padded, ns, rs = _pad_geometry(vshape, patch, strides)
+    padded = [max(v, p) for v, p in zip(vshape, patch)]
     vol = np.pad(np.asarray(volume).astype(in_dtype),
                  [(0, pd - v) for pd, v in zip(padded, vshape)])
 
-    starts = np.array([(a * strides[0], b * strides[1], c * strides[2])
-                       for a in range(ns[0]) for b in range(ns[1])
-                       for c in range(ns[2])], np.int32)
+    axes = [_axis_classes(padded[a], patch[a], strides[a]) for a in range(3)]
+    axis_starts = [ax[0] for ax in axes]
+    classes = [ax[1] for ax in axes]
+    ns = [len(s) for s in axis_starts]
+    starts = np.array([(a, b, c) for a in axis_starts[0]
+                       for b in axis_starts[1] for c in axis_starts[2]],
+                      np.int32)
     n = len(starts)
     n_pad = (-n) % batch
     if n_pad:
@@ -172,17 +200,18 @@ def _overlap_add_inference(volume, generate_fn, patch, strides, blend, batch,
                 return None, out * win
 
             _, outs = jax.lax.scan(body, None, starts_b)
-            outs = outs.reshape(-1, *patch)[:n].reshape(ns[0], ns[1], ns[2], *patch)
+            outs = outs.reshape(-1, *patch)[:n].reshape(*ns, *patch)
 
             acc = jnp.zeros(tuple(padded), jnp.float32)
-            for a in range(rs[0]):
-                for b in range(rs[1]):
-                    for c in range(rs[2]):
-                        sel = outs[a::rs[0], b::rs[1], c::rs[2]]
-                        m = sel.shape[:3]
+            for i0, st0, c0, off0 in classes[0]:
+                for i1, st1, c1, off1 in classes[1]:
+                    for i2, st2, c2, off2 in classes[2]:
+                        sel = outs[i0:i0 + st0 * c0:st0,
+                                   i1:i1 + st1 * c1:st1,
+                                   i2:i2 + st2 * c2:st2]
                         dense = sel.transpose(0, 3, 1, 4, 2, 5).reshape(
-                            m[0] * patch[0], m[1] * patch[1], m[2] * patch[2])
-                        off = (a * strides[0], b * strides[1], c * strides[2])
+                            c0 * patch[0], c1 * patch[1], c2 * patch[2])
+                        off = (off0, off1, off2)
                         pad_cfg = [(off[i], padded[i] - off[i] - dense.shape[i])
                                    for i in range(3)]
                         acc = acc + jnp.pad(dense, pad_cfg)
@@ -210,16 +239,23 @@ def _streaming_overlap_add(volume, generate_fn, patch, strides, blend, batch,
     format is transfer_dtype."""
     in_dtype = transfer_dtype if input_transfer_dtype is None else input_transfer_dtype
     vshape = volume.shape
-    padded, ns, rs = _pad_geometry(vshape, patch, strides)
-    sd, rsd, n_rows = strides[0], rs[0], ns[0]
+    # leading axis is exactly regular (dispatcher precondition); trailing
+    # axes use the clamped reference grid via _axis_classes
+    padded = [vshape[0], max(vshape[1], patch[1]), max(vshape[2], patch[2])]
+    sd, rsd = strides[0], patch[0] // strides[0]
+    n_rows = (padded[0] - patch[0]) // sd + 1
     m_chunks = padded[0] // sd
 
     vol = np.pad(np.asarray(volume).astype(in_dtype),
                  [(0, pd - v) for pd, v in zip(padded, vshape)])
 
-    # in-plane grid (z start is implicit per row)
-    starts2 = np.array([(b * strides[1], c * strides[2])
-                        for b in range(ns[1]) for c in range(ns[2])], np.int32)
+    axes12 = [_axis_classes(padded[a], patch[a], strides[a]) for a in (1, 2)]
+    ns12 = [len(ax[0]) for ax in axes12]
+    classes12 = [ax[1] for ax in axes12]
+
+    # in-plane grid (leading-axis start is implicit per row)
+    starts2 = np.array([(b, c) for b in axes12[0][0] for c in axes12[1][0]],
+                       np.int32)
     n2 = len(starts2)
     n2_pad = (-n2) % batch
     if n2_pad:
@@ -258,16 +294,15 @@ def _streaming_overlap_add(volume, generate_fn, patch, strides, blend, batch,
                 return None, out * win
 
             _, outs = jax.lax.scan(body, None, starts2_b)
-            outs = outs.reshape(-1, *patch)[:n2].reshape(ns[1], ns[2], *patch)
+            outs = outs.reshape(-1, *patch)[:n2].reshape(*ns12, *patch)
 
             acc = jnp.zeros((patch[0], padded[1], padded[2]), jnp.float32)
-            for b in range(rs[1]):
-                for c in range(rs[2]):
-                    sel = outs[b::rs[1], c::rs[2]]
-                    m = sel.shape[:2]
+            for i1, st1, c1, off1 in classes12[0]:
+                for i2, st2, c2, off2 in classes12[1]:
+                    sel = outs[i1:i1 + st1 * c1:st1, i2:i2 + st2 * c2:st2]
                     dense = sel.transpose(2, 0, 3, 1, 4).reshape(
-                        patch[0], m[0] * patch[1], m[1] * patch[2])
-                    off = (b * strides[1], c * strides[2])
+                        patch[0], c1 * patch[1], c2 * patch[2])
+                    off = (off1, off2)
                     pad_cfg = [(0, 0)] + [
                         (off[i], padded[i + 1] - off[i] - dense.shape[i + 1])
                         for i in range(2)]
@@ -318,17 +353,13 @@ def _streaming_overlap_add(volume, generate_fn, patch, strides, blend, batch,
 
 
 def _scan_inference(volume, generate_fn, patch, strides, blend, batch):
-    stride_layer, stride_inplane, _ = strides
     vshape = volume.shape
     padded = [max(v, p) for v, p in zip(vshape, patch)]
     pads = [(0, pd - v) for pd, v in zip(padded, vshape)]
     vol = np.pad(volume.astype(np.float32), pads)
 
-    starts = [
-        compute_grid_starts(padded[0], patch[0], stride_layer),
-        compute_grid_starts(padded[1], patch[1], stride_inplane),
-        compute_grid_starts(padded[2], patch[2], stride_inplane),
-    ]
+    starts = [compute_grid_starts(padded[a], patch[a], strides[a])
+              for a in range(3)]
     grid = np.array(
         [(a, b, c) for a in starts[0] for b in starts[1] for c in starts[2]],
         np.int32,

@@ -40,7 +40,8 @@ def sharded_sliding_window(
     blend: str = "gaussian",
     batch: int = 1,
 ) -> np.ndarray:
-    """Multi-device sliding-window decode. volume: (D,H,W) float32."""
+    """Multi-device sliding-window decode. volume: (X,Y,Z) float32 (NIfTI
+    axis order; stride_layer covers the last axis)."""
     n_dev = mesh.shape[DATA_AXIS]
     patch = tuple(int(p) for p in patch_size)
     vshape = volume.shape
@@ -48,10 +49,12 @@ def sharded_sliding_window(
     vol = np.pad(volume.astype(np.float32),
                  [(0, pd - v) for pd, v in zip(padded, vshape)])
 
+    # stride_layer applies to the last (Z) axis of the (X, Y, Z) volume,
+    # matching the reference's grid (reference test.py:111-113)
     starts = [
-        compute_grid_starts(padded[0], patch[0], stride_layer),
+        compute_grid_starts(padded[0], patch[0], stride_inplane),
         compute_grid_starts(padded[1], patch[1], stride_inplane),
-        compute_grid_starts(padded[2], patch[2], stride_inplane),
+        compute_grid_starts(padded[2], patch[2], stride_layer),
     ]
     grid = np.array([(a, b, c) for a in starts[0] for b in starts[1] for c in starts[2]],
                     np.int32)

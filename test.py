@@ -75,6 +75,13 @@ def inference(opt, loaded=None):
     if pad_where == "symmetric":
         fronts = [max(0, patch[a] - pre_pad_shape[a]) // 2 for a in range(3)]
     vol = pad_to_size(work.data, patch, where=pad_where)
+    # the reference additionally edge-pads an odd Z dim to even BEFORE
+    # building the patch grid and crops the extra slice after decoding
+    # (reference test.py:96-103,181-182) — reproduce under pad_mode
+    # 'reference' so the grids (and therefore the overlap averages) match
+    odd_z = pad_where == "end" and vol.shape[2] % 2 == 1
+    if odd_z:
+        vol = np.pad(vol, ((0, 0), (0, 0), (0, 1)), mode="edge")
     vol = to_tanh_range(vol)
 
     # --- decode ---
