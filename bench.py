@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -65,7 +66,64 @@ def _bench_inference(cfg, state):
             best = min(best, time.perf_counter() - t0)
         assert np.isfinite(out).all()
         secs[label] = best
+
+    # --single_pass equivalent: whole-volume forward, no patching
+    from mra_gan_tpu.parallel.spatial import single_pass_apply
+
+    g_a, _, _, _ = cfg.build_nets()
+    single_pass_apply(g_a, params, vol)  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = single_pass_apply(g_a, params, vol)
+        best = min(best, time.perf_counter() - t0)
+    assert np.isfinite(out).all()
+    secs["single_pass"] = best
     return secs
+
+
+def _bench_loader():
+    """Host input-pipeline throughput (patch pairs/s from PatchLoader on
+    synthetic NIfTIs), cache-cold and cache-warm — proves the host can feed
+    the batch-8 device throughput (the reference's DataLoader equivalent,
+    reference train.py:52). Pure host benchmark; no device involvement."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from mra_gan_tpu.data import nifti
+    from mra_gan_tpu.data.dataset import PatchLoader, UnpairedVolumeDataset
+
+    root = Path(tempfile.mkdtemp(prefix="bench_loader_"))
+    try:
+        rs = np.random.RandomState(0)
+        for sub in ("images", "labels"):
+            (root / "train" / sub).mkdir(parents=True)
+        for i in range(6):
+            for sub in ("images", "labels"):
+                vol = rs.rand(128, 128, 128).astype(np.float32) * 100
+                nifti.save(nifti.NiftiImage(data=vol, affine=np.eye(4)),
+                           root / "train" / sub / f"{i}.nii")
+
+        def run(workers, epoch):
+            ds = UnpairedVolumeDataset(root / "train", patch_size=PATCH,
+                                       pipeline="monai", num_samples=8,
+                                       cache_dir=str(root / "cache"))
+            loader = PatchLoader(ds, batch_size=8, workers=workers)
+            t0 = time.perf_counter()
+            n = 0
+            for img, lbl in loader.epoch(epoch):
+                n += img.shape[0]
+            return n / (time.perf_counter() - t0)
+
+        cold = run(4, 0)       # populates the npz cache
+        warm_w4 = run(4, 1)
+        warm_w1 = run(1, 2)
+        return {"cold_w4": round(cold, 1), "warm_w4": round(warm_w4, 1),
+                "warm_w1": round(warm_w1, 1)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -100,8 +158,9 @@ def main() -> None:
         secs = _bench_inference(cfg, state)
         infer_secs = round(secs["exact"], 3)
         infer_secs_f16 = round(secs["f16_out"], 3)
+        infer_secs_sp = round(secs["single_pass"], 3)
     except Exception:
-        infer_secs = infer_secs_f16 = None
+        infer_secs = infer_secs_f16 = infer_secs_sp = None
 
     # throughput mode: batch 8 (the production configuration; same model,
     # same step — amortizes the per-step bandwidth-bound tails)
@@ -122,6 +181,11 @@ def main() -> None:
     except Exception:
         batch8_pairs = None
 
+    try:
+        loader = _bench_loader()
+    except Exception:
+        loader = None
+
     pairs_per_sec = BATCH * ITERS / dt
     print(json.dumps({
         "metric": "64^3-patch pairs/sec/chip (full CycleGAN train step, bf16)",
@@ -130,7 +194,9 @@ def main() -> None:
         "vs_baseline": round(pairs_per_sec / V100_PAIRS_PER_SEC_EST, 2),
         "inference_secs_per_volume_256x256x128": infer_secs,
         "inference_secs_per_volume_f16_output_wire": infer_secs_f16,
+        "inference_secs_per_volume_single_pass": infer_secs_sp,
         "batch8_pairs_per_sec": batch8_pairs,
+        "loader_patch_pairs_per_sec": loader,
     }))
 
 

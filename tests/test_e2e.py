@@ -279,3 +279,35 @@ def test_organize_register_default_path(tmp_path):
         # the raw pairs start visibly misaligned (r ~ 0.5-0.7 between the
         # shifted scenes); registration must bring them into alignment
         assert r > 0.93, f"{split}: post-registration correlation {r:.3f}"
+
+
+def test_plateau_metric_decoupled_from_print_freq(data_root, monkeypatch):
+    """The plateau scheduler's metric is the epoch mean of every step's
+    total loss — with print_freq far above the epoch's step count the
+    scheduler must still receive a real metric (round-2 bug: last_metric
+    only updated on print steps, so plateau saw None/stale values; the
+    reference's own plateau is unusable — base_model.py:66-67 calls
+    scheduler.step() without a metric, a TypeError for ReduceLROnPlateau)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import train as train_cli
+    from mra_gan_tpu.training.schedules import LRScheduler
+
+    seen = []
+
+    class Recording(LRScheduler):
+        def lr_for_epoch(self, epoch, metric=None):
+            seen.append((epoch, metric))
+            return super().lr_for_epoch(epoch, metric=metric)
+
+    monkeypatch.setattr(train_cli, "LRScheduler", Recording)
+    ck = str(data_root / "ck_plateau")
+    train_cli.main(["--data_path", str(data_root / "train"),
+                    "--checkpoints_dir", ck, "--name", "pl", *SMALL,
+                    "--pool_size", "2", "--batch_size", "2",
+                    "--lr_policy", "plateau", "--print_freq", "100000",
+                    "--niter", "2", "--niter_decay", "0",
+                    "--save_epoch_freq", "2"])
+    by_epoch = dict(seen)
+    assert by_epoch[1] is None  # nothing measured before the first epoch
+    assert by_epoch[2] is not None and np.isfinite(by_epoch[2])
