@@ -178,9 +178,9 @@ class CheckpointManager:
 # save/load (reference models/base_model.py:89-148): ResnetGenerator (6/9
 # blocks, models/networks3D.py:173-263), UnetGenerator (5/7/8 downs,
 # :270-343), NLayerDiscriminator (:381-425) and PixelDiscriminator (:428-450).
-# 'Dynet' is MONAI's DynUNet (:346-377); our DynUNet3D is a
-# capability-equivalent rebuild with a different filter schedule, so no
-# weight mapping exists — documented error below.
+# 'Dynet' is MONAI's DynUNet (:346-377); DynUNet3D matches its architecture
+# (res_block=True) and maps via the dedicated MONAI-layout entries
+# (_dynet_entries), including the affine instance-norm weights.
 #
 # Norm layers: the reference's instance norm is affine-free but
 # track_running_stats=True (models/networks3D.py:19), so every reference
@@ -306,15 +306,108 @@ _ARCH_ALIASES = {
 }
 
 
+def _dynet_entries(params: dict) -> list:
+    """DynUNet3D <-> MONAI DynUNet state-dict layout (reference
+    models/networks3D.py:346-377 builds monai.networks.nets.DynUNet with
+    res_block=True; layout per monai/networks/nets/dynunet.py +
+    blocks/dynunet_block.py). Our module names mirror MONAI's attribute
+    paths, so entries are (flax_path, torch_key_base, kind) with kind one
+    of 'conv' (OIDHW weight, no bias), 'transp' (IODHW weight, no bias),
+    'norm' (affine instance norm weight/bias -> scale/bias), 'out'
+    (1^3 conv WITH bias). MONAI wraps every conv in a Convolution module,
+    hence the '.conv' suffix; its instance norms track no running stats."""
+    def _num(name):
+        return int(name.rsplit("_", 1)[1])
+
+    downs = sorted((k for k in params if k.startswith("downsamples_")), key=_num)
+    ups = sorted((k for k in params if k.startswith("upsamples_")), key=_num)
+    entries = []
+    for b in ["input_block"] + downs + ["bottleneck"]:
+        tb = b.replace("downsamples_", "downsamples.")
+        for c in ("conv1", "conv2", "conv3"):
+            if c in params[b]:
+                entries.append(((b, c), f"{tb}.{c}.conv", "conv"))
+        for nm in ("norm1", "norm2", "norm3"):
+            if nm in params[b]:
+                entries.append(((b, nm), f"{tb}.{nm}", "norm"))
+    for u in ups:
+        tu = u.replace("upsamples_", "upsamples.")
+        entries.append(((u, "transp_conv"), f"{tu}.transp_conv.conv", "transp"))
+        for c in ("conv1", "conv2"):
+            entries.append(((u, "conv_block", c), f"{tu}.conv_block.{c}.conv",
+                            "conv"))
+        for nm in ("norm1", "norm2"):
+            entries.append(((u, "conv_block", nm), f"{tu}.conv_block.{nm}",
+                            "norm"))
+    entries.append((("output_block",), "output_block.conv.conv", "out"))
+    return entries
+
+
+def _load_dynet(sd: dict, params) -> dict:
+    import copy
+
+    new_params = {"params": copy.deepcopy(
+        jax.tree.map(np.asarray, params["params"]))}
+    entries = _dynet_entries(new_params["params"])
+    want_keys = set()
+    for path, tb, kind in entries:
+        want_keys.add(tb + ".weight")
+        if kind in ("norm", "out"):
+            want_keys.add(tb + ".bias")
+    have = set(sd.keys())
+    if have != want_keys:
+        raise ValueError(
+            "Dynet checkpoint layout mismatch vs MONAI DynUNet "
+            f"(res_block=True): unexpected keys {sorted(have - want_keys)[:4]}, "
+            f"missing {sorted(want_keys - have)[:4]} — was the net built "
+            "with different sizes/spacings (see dynet_sizes flags)?")
+    for path, tb, kind in entries:
+        node = _get_node(new_params["params"], path)
+        if kind == "norm":
+            for tname, fname in (("weight", "scale"), ("bias", "bias")):
+                v = sd[f"{tb}.{tname}"].numpy().astype(np.float32)
+                if v.shape != node[fname].shape:
+                    raise ValueError(f"shape mismatch at {'/'.join(path)}."
+                                     f"{fname}: {v.shape} vs {node[fname].shape}")
+                node[fname] = v
+            continue
+        w = sd[tb + ".weight"].numpy()
+        if kind == "transp":
+            k = np.transpose(w, (2, 3, 4, 0, 1)).astype(np.float32)  # IODHW
+        else:
+            k = np.transpose(w, (2, 3, 4, 1, 0)).astype(np.float32)  # OIDHW
+        if k.shape != node["kernel"].shape:
+            raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                             f"{k.shape} vs {node['kernel'].shape}")
+        node["kernel"] = k
+        if kind == "out":
+            node["bias"] = sd[tb + ".bias"].numpy().astype(np.float32)
+    return new_params
+
+
+def _save_dynet(params, pth_path) -> None:
+    import torch
+
+    inner = dict(params["params"])
+    sd = {}
+    for path, tb, kind in _dynet_entries(inner):
+        node = _get_node(inner, path)
+        if kind == "norm":
+            sd[tb + ".weight"] = torch.tensor(np.asarray(node["scale"], np.float32))
+            sd[tb + ".bias"] = torch.tensor(np.asarray(node["bias"], np.float32))
+            continue
+        k = np.asarray(node["kernel"], np.float32)
+        if kind == "transp":
+            sd[tb + ".weight"] = torch.tensor(np.transpose(k, (3, 4, 0, 1, 2)))
+        else:
+            sd[tb + ".weight"] = torch.tensor(np.transpose(k, (4, 3, 0, 1, 2)))
+        if kind == "out":
+            sd[tb + ".bias"] = torch.tensor(np.asarray(node["bias"], np.float32))
+    torch.save(sd, pth_path)
+
+
 def _layout_for(params: dict, arch: str, use_dropout: bool) -> list:
     """Build the layout for ``arch``, sizing it from the params tree."""
-    if arch == "Dynet":
-        raise NotImplementedError(
-            "'Dynet' is MONAI's DynUNet (reference models/networks3D.py:"
-            "346-377); our DynUNet3D is a capability-equivalent rebuild "
-            "(different filter schedule and residual stem), so there is no "
-            "weight-level mapping. Retrain, or use one of the mappable "
-            "architectures (resnet_*/unet_*/basic/n_layers/pixel).")
     kind = _ARCH_ALIASES.get(arch)
     if kind is None:
         raise ValueError(f"unknown arch {arch!r}; expected one of "
@@ -358,6 +451,9 @@ def load_torch_network(pth_path, params, arch: str = "resnet"):
 
     sd = torch.load(pth_path, map_location="cpu", weights_only=True)
     sd = {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
+
+    if arch in ("Dynet", "dynet"):
+        return _load_dynet(sd, params)
 
     inner = dict(params["params"])
     use_dropout = any(".conv_block.6.weight" in k for k in sd)
@@ -414,6 +510,10 @@ def save_torch_network(params, pth_path, arch: str = "resnet",
     with — it shifts the residual blocks' second-conv index (reference
     models/networks3D.py:244-256)."""
     import torch
+
+    if arch in ("Dynet", "dynet"):
+        _save_dynet(params, pth_path)
+        return
 
     inner = dict(params["params"])
     layout = _layout_for(inner, arch, use_dropout)

@@ -9,8 +9,8 @@ Capability-parity with the reference zoo (reference models/networks3D.py):
                                transposed-conv up, channel-concat skips
                                (reference :270-343).
 - ``DynUNet3D``              — nnU-Net-style auto-configured residual U-Net +
-                               Tanh head (capability equivalent of the MONAI
-                               DynUNet wrapper, reference :346-377).
+                               Tanh head, architecture-exact vs MONAI's
+                               DynUNet res_block=True (reference :346-377).
 - ``NLayerDiscriminator3D``  — 3D PatchGAN (reference :381-425).
 - ``PixelDiscriminator3D``   — 1^3-conv per-voxel discriminator
                                (reference :428-450).
@@ -545,7 +545,31 @@ def dynunet_schedule(
     return kernels, strides
 
 
-class _DynResBlock(nn.Module):
+def _monai_pad(kernel, stride) -> list:
+    """MONAI's get_padding: int((k - s + 1) / 2) per axis, symmetric —
+    (1,1) for k=3 at stride 1 or 2, (0,0) for k=1."""
+    return [(int((k - s + 1) / 2),) * 2
+            for k, s in zip(_canon(kernel), _canon(stride))]
+
+
+class _AffineIN(nn.Module):
+    """torch InstanceNorm3d(affine=True) — MONAI's norm for DynUNet blocks
+    (norm_name=("INSTANCE", {"affine": True}), track_running_stats=False,
+    so the state dict carries exactly weight+bias)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return instance_norm(x, scale=scale, bias=bias)
+
+
+class _MonaiResBlock(nn.Module):
+    """MONAI UnetResBlock (monai dynunet_block.py): conv1(k,s)-norm1-lrelu-
+    conv2(k,1)-norm2, shortcut conv3(1,s)+norm3 when channels or stride
+    change, then add + lrelu(0.01). Convs bias-free, norms affine."""
+
     features: int
     kernel: Sequence[int]
     stride: Sequence[int]
@@ -553,25 +577,82 @@ class _DynResBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
-        pad = [((k - 1) // 2, k // 2) for k in self.kernel]
-        h = Conv3D(self.features, self.kernel, stride=self.stride, padding=pad,
-                   use_bias=False, kernel_init=self.kernel_init, dtype=self.dtype)(x)
-        h = instance_norm_act_auto(h, act="leaky_relu", negative_slope=0.01)
-        h = Conv3D(self.features, self.kernel, padding=pad, use_bias=False,
-                   kernel_init=self.kernel_init, dtype=self.dtype)(h)
-        h = instance_norm(h)
+    def __call__(self, x):
+        h = Conv3D(self.features, self.kernel, stride=self.stride,
+                   padding=_monai_pad(self.kernel, self.stride),
+                   use_bias=False, kernel_init=self.kernel_init,
+                   dtype=self.dtype, name="conv1")(x)
+        h = _AffineIN(name="norm1")(h)
+        h = jax.nn.leaky_relu(h, 0.01)
+        h = Conv3D(self.features, self.kernel,
+                   padding=_monai_pad(self.kernel, 1), use_bias=False,
+                   kernel_init=self.kernel_init, dtype=self.dtype,
+                   name="conv2")(h)
+        h = _AffineIN(name="norm2")(h)
         if x.shape[-1] != self.features or any(s != 1 for s in _canon(self.stride)):
             x = Conv3D(self.features, 1, stride=self.stride, use_bias=False,
-                       kernel_init=self.kernel_init, dtype=self.dtype)(x)
-            x = instance_norm(x)
+                       kernel_init=self.kernel_init, dtype=self.dtype,
+                       name="conv3")(x)
+            x = _AffineIN(name="norm3")(x)
         return jax.nn.leaky_relu(x + h, 0.01)
 
 
+class _MonaiBasicBlock(nn.Module):
+    """MONAI UnetBasicBlock: conv1(k,1)-norm1-lrelu-conv2(k,1)-norm2-lrelu,
+    no residual — the decoder block DynUNet uses even with res_block=True."""
+
+    features: int
+    kernel: Sequence[int]
+    kernel_init: Callable = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = Conv3D(self.features, self.kernel,
+                   padding=_monai_pad(self.kernel, 1), use_bias=False,
+                   kernel_init=self.kernel_init, dtype=self.dtype,
+                   name="conv1")(x)
+        h = jax.nn.leaky_relu(_AffineIN(name="norm1")(h), 0.01)
+        h = Conv3D(self.features, self.kernel,
+                   padding=_monai_pad(self.kernel, 1), use_bias=False,
+                   kernel_init=self.kernel_init, dtype=self.dtype,
+                   name="conv2")(h)
+        return jax.nn.leaky_relu(_AffineIN(name="norm2")(h), 0.01)
+
+
+class _MonaiUpBlock(nn.Module):
+    """MONAI UnetUpBlock: transposed conv (kernel = stride =
+    upsample_kernel_size, bias-free, no norm) -> cat(up, skip) -> basic
+    block. Concat order is (upsampled, skip) — channel order matters for
+    weight-level parity."""
+
+    features: int
+    kernel: Sequence[int]
+    up_stride: Sequence[int]
+    kernel_init: Callable = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, skip):
+        up = ConvTranspose3D(self.features, self.up_stride,
+                             stride=self.up_stride, padding=0,
+                             output_padding=0, use_bias=False,
+                             kernel_init=self.kernel_init, dtype=self.dtype,
+                             name="transp_conv")(h)
+        cat = jnp.concatenate([up, skip.astype(up.dtype)], axis=-1)
+        return _MonaiBasicBlock(self.features, self.kernel, self.kernel_init,
+                                self.dtype, name="conv_block")(cat)
+
+
 class DynUNet3D(nn.Module):
-    """Auto-configured residual U-Net with Tanh head ('Dynet',
-    reference :346-377). Capability-equivalent rebuild of MONAI's DynUNet
-    (res_block=True); filters follow nnU-Net's min(32*2^i, 320)."""
+    """MONAI DynUNet, architecture-exact ('Dynet', reference :346-377;
+    MONAI monai/networks/nets/dynunet.py + dynunet_block.py, res_block=True,
+    deep_supervision off, instance norm affine=True), with the reference's
+    added Tanh head. Module names mirror MONAI's state-dict layout
+    (input_block / downsamples_i / bottleneck / upsamples_j / output_block),
+    so checkpoints migrate via checkpoint.io's 'Dynet' mapping. Filters are
+    nnU-Net's min(32*2^i, 320); kernels/strides come from the auto-schedule
+    (dynunet_schedule, exact reference math)."""
 
     output_nc: int = 1
     sizes: Tuple[int, int, int] = (128, 128, 64)
@@ -584,20 +665,25 @@ class DynUNet3D(nn.Module):
     def __call__(self, x, train: bool = True):
         ki = get_initializer(self.init_type, self.init_gain)
         kernels, strides = dynunet_schedule(self.sizes, self.spacings)
-        filters = [min(32 * 2 ** i, 320) for i in range(len(kernels))]
-        skips = []
-        h = x
-        for i, (k, s, f) in enumerate(zip(kernels, strides, filters)):
-            h = _DynResBlock(f, k, s, ki, self.dtype)(h, train)
-            if i < len(kernels) - 1:
-                skips.append(h)
-        for i in range(len(kernels) - 2, -1, -1):
-            up_s = strides[i + 1]
-            h = ConvTranspose3D(filters[i], up_s, stride=up_s, padding=0,
-                                use_bias=False, kernel_init=ki, dtype=self.dtype)(h)
-            h = jnp.concatenate([skips[i], h], axis=-1)
-            h = _DynResBlock(filters[i], kernels[i], (1, 1, 1), ki, self.dtype)(h, train)
-        h = Conv3D(self.output_nc, 1, use_bias=True, kernel_init=ki, dtype=self.dtype)(h)
+        n = len(kernels)
+        filters = [min(32 * 2 ** i, 320) for i in range(n)]
+        h = _MonaiResBlock(filters[0], kernels[0], strides[0], ki,
+                           self.dtype, name="input_block")(x)
+        skips = [h]
+        for i in range(1, n - 1):
+            h = _MonaiResBlock(filters[i], kernels[i], strides[i], ki,
+                               self.dtype, name=f"downsamples_{i - 1}")(h)
+            skips.append(h)
+        h = _MonaiResBlock(filters[n - 1], kernels[n - 1], strides[n - 1],
+                           ki, self.dtype, name="bottleneck")(h)
+        # upsamples_j counts from the bottleneck up (MONAI's ModuleList
+        # order); decoder level i uses the NEXT level's kernel and the
+        # upsample stride strides[i+1] (MONAI get_upsamples)
+        for j, i in enumerate(range(n - 2, -1, -1)):
+            h = _MonaiUpBlock(filters[i], kernels[i + 1], strides[i + 1],
+                              ki, self.dtype, name=f"upsamples_{j}")(h, skips[i])
+        h = Conv3D(self.output_nc, 1, use_bias=True, kernel_init=ki,
+                   dtype=self.dtype, name="output_block")(h)
         return jnp.tanh(h)
 
 

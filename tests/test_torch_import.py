@@ -151,14 +151,21 @@ def test_import_count_mismatch_raises(ref, tmp_path):
         load_torch_network(pth, params, arch="resnet")
 
 
-def test_dynet_mapping_documented_error(tmp_path):
+def test_dynet_mapping_exists(tmp_path):
+    """Dynet now has a full MONAI-layout weight mapping — round-trip parity
+    lives in tests/test_dynet_parity.py; here just pin that export emits the
+    MONAI key set (round-2's documented error is resolved)."""
     from mra_gan_tpu.models.networks import DynUNet3D
-    net = DynUNet3D(output_nc=1)
+    net = DynUNet3D(output_nc=1, sizes=(32, 32, 16))
     params = jax.eval_shape(
-        lambda: net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 16, 1)),
+        lambda: net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 8, 1)),
                          train=False))
-    with pytest.raises(NotImplementedError, match="capability-equivalent"):
-        save_torch_network(params, tmp_path / "x.pth", arch="Dynet")
+    params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), params)
+    save_torch_network(params, tmp_path / "x.pth", arch="Dynet")
+    sd = torch.load(tmp_path / "x.pth", weights_only=True)
+    assert "input_block.conv1.conv.weight" in sd
+    assert "upsamples.0.transp_conv.conv.weight" in sd
+    assert "output_block.conv.conv.bias" in sd
 
 
 # ---------------------------------------------------------------------------
