@@ -114,7 +114,7 @@ class UnpairedVolumeDataset:
             st = os.stat(p)
             h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
         h.update(f"{self.pipeline}:{self.resample}:{self.new_resolution}".encode())
-        return self.cache_dir / (h.hexdigest() + ".npz")
+        return self.cache_dir / h.hexdigest()
 
     @staticmethod
     def _load(path) -> nifti.NiftiImage:
@@ -132,10 +132,18 @@ class UnpairedVolumeDataset:
         img_path = self.image_paths[idx]
         lbl_path = self.label_paths[lbl_idx]
         if self.cache_dir:
+            # raw .npy pair + mmap read: np.load of an .npz goes through
+            # zipfile's Python-level reads, which hold the GIL — with
+            # workers>1 the warm-cache path serialized so badly it dropped
+            # UNDER the single-thread rate (measured 7 vs 77 pairs/s on the
+            # TPU host). mmap costs ~0; the patch gather faults pages via
+            # GIL-released memcpy instead.
             ck = self._cache_key(img_path, lbl_path)
-            if ck.exists():
-                z = np.load(ck)
-                return z["image"], z["label"]
+            ip = ck.with_suffix(".image.npy")
+            lp = ck.with_suffix(".label.npy")
+            if ip.exists() and lp.exists():
+                return (np.load(ip, mmap_mode="r"),
+                        np.load(lp, mmap_mode="r"))
         img = self._load(img_path)
         lbl = self._load(lbl_path)
         if self.pipeline == "monai":
@@ -153,7 +161,14 @@ class UnpairedVolumeDataset:
         image = np.ascontiguousarray(image, np.float32)
         label = np.ascontiguousarray(label, np.float32)
         if self.cache_dir:
-            np.savez(self._cache_key(img_path, lbl_path), image=image, label=label)
+            # atomic write (tmp + rename): concurrent workers may race on
+            # the same pair, and a reader must never see a torn file
+            ck = self._cache_key(img_path, lbl_path)
+            for arr, suffix in ((image, ".image.npy"), (label, ".label.npy")):
+                tmp = ck.with_suffix(suffix + f".tmp{os.getpid()}")
+                with open(tmp, "wb") as f:  # np.save(path) would append .npy
+                    np.save(f, arr)
+                os.replace(tmp, ck.with_suffix(suffix))
         return image, label
 
     # -- per-epoch sampling --

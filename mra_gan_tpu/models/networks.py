@@ -69,6 +69,16 @@ def _canon(v):
     return tuple(int(x) for x in v)
 
 
+
+def _bias_param(mod, features):
+    """Bias param; stop_gradient'd when the callsite marked it norm-dead
+    (see Conv3D.dead_bias)."""
+    b = mod.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+    if getattr(mod, "dead_bias", False):
+        b = jax.lax.stop_gradient(b)
+    return b
+
+
 class Conv3D(nn.Module):
     """Conv with torch-matching init; kernel (kd,kh,kw,Cin,Cout).
 
@@ -94,6 +104,17 @@ class Conv3D(nn.Module):
     # of the input/output cell domain. Parameters stay reference-layout.
     cells_in: int = 0
     cells_out: int = 0
+    # The bias of a conv immediately followed by instance norm is
+    # analytically output-DEAD (the norm subtracts the per-channel mean, so
+    # a constant shift cancels; proven against torch autodiff in
+    # tests/test_torch_parity_step.py — both frameworks see only f32
+    # cancellation noise there, which Adam amplifies into a ±lr random
+    # walk). dead_bias=True keeps the parameter (checkpoint parity) and the
+    # forward add, but stop_gradients it: the true gradient is exactly 0,
+    # and skipping it deletes multi-ms f32 convert+relayout+reduce chains
+    # XLA otherwise emits for the 100-MB activation cotangents (measured
+    # ~5 ms/step at the reference workload).
+    dead_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -116,9 +137,7 @@ class Conv3D(nn.Module):
                 xe = extend_sharded_d(xc, p, p, "zero")
                 y = conv3d(xe, kc, self.stride, [(0, 0), (p, p), (p, p)])
             if self.use_bias:
-                bias = self.param("bias", nn.initializers.zeros,
-                                  (self.features,), jnp.float32)
-                y = y + bias.astype(self.dtype)
+                y = y + _bias_param(self, self.features).astype(self.dtype)
             return y
         if self.same_edge_pad:
             half = (k[0] - 1) // 2
@@ -177,8 +196,7 @@ class Conv3D(nn.Module):
             else:
                 y = conv3d(xc, kc, self.stride, self.padding)
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            b = bias.astype(self.dtype)
+            b = _bias_param(self, self.features).astype(self.dtype)
             if self.cells_out:
                 b = jnp.tile(b, self.cells_out ** 3)  # lane order is (parity, c)
             y = y + b
@@ -209,6 +227,7 @@ class ConvTranspose3D(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = None
     dtype: Dtype = jnp.float32
+    dead_bias: bool = False  # see Conv3D.dead_bias
     # cell-domain IO (ops/s2d.py): cells_in=2 consumes S2D(2) cells and emits
     # S2D(4) cells of the doubled grid via the composed weight remap (zero
     # activation relayout, ops/subpixel.py); cells_out=2 keeps the subpixel
@@ -244,9 +263,7 @@ class ConvTranspose3D(nn.Module):
             y = conv3d(xe, wp, 1, [(0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi)])
             y = depth_to_space(y, 2)
             if self.use_bias:
-                bias = self.param("bias", nn.initializers.zeros,
-                                  (self.features,), jnp.float32)
-                y = y + bias.astype(self.dtype)
+                y = y + _bias_param(self, self.features).astype(self.dtype)
             return y
         if self.cells_in:
             assert subpixel_ok and self.cells_in == 2
@@ -265,8 +282,7 @@ class ConvTranspose3D(nn.Module):
             y = conv_transpose3d(xc, kc, self.stride, self.padding, self.output_padding)
             tile = 1
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            b = bias.astype(self.dtype)
+            b = _bias_param(self, self.features).astype(self.dtype)
             if tile > 1:
                 b = jnp.tile(b, tile)
             y = y + b
@@ -338,16 +354,19 @@ class ResnetBlock3D(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = None
     dtype: Dtype = jnp.float32
+    dead_bias: bool = False  # both convs feed norms; see Conv3D.dead_bias
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         h = replication_pad3d(x, 1)
-        h = Conv3D(self.dim, 3, use_bias=self.use_bias, kernel_init=self.kernel_init, dtype=self.dtype)(h)
+        h = Conv3D(self.dim, 3, use_bias=self.use_bias, kernel_init=self.kernel_init,
+                   dtype=self.dtype, dead_bias=self.dead_bias)(h)
         h = _norm_act(h, self.norm, "relu", self.dtype, train)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
         h = replication_pad3d(h, 1)
-        h = Conv3D(self.dim, 3, use_bias=self.use_bias, kernel_init=self.kernel_init, dtype=self.dtype)(h)
+        h = Conv3D(self.dim, 3, use_bias=self.use_bias, kernel_init=self.kernel_init,
+                   dtype=self.dtype, dead_bias=self.dead_bias)(h)
         h = Norm3D(self.norm, self.dtype)(h, train)
         return x + h
 
@@ -396,8 +415,9 @@ class ResnetGenerator3D(nn.Module):
         h = x
         if self.cells_io:
             h = regroup_cells(h, 4, 2, x.shape[-1] // 64)
+        dead = self.norm == "instance"  # see Conv3D.dead_bias
         h = Conv3D(self.ngf, 7, use_bias=bias, kernel_init=ki, dtype=self.dtype,
-                   same_edge_pad=True, cells_in=cin,
+                   same_edge_pad=True, cells_in=cin, dead_bias=dead,
                    cells_out=(2 if cells else 0))(h)
         if cells:
             h = instance_norm_act_grouped(h, 8, 1e-5, "relu")
@@ -406,7 +426,7 @@ class ResnetGenerator3D(nn.Module):
         for i in range(2):  # downsample
             mult = 2 ** i
             h = Conv3D(self.ngf * mult * 2, 3, stride=2, padding=1, use_bias=bias,
-                       kernel_init=ki, dtype=self.dtype,
+                       kernel_init=ki, dtype=self.dtype, dead_bias=dead,
                        cells_in=(2 if cells and i == 0 else 0))(h)
             h = _norm_act(h, self.norm, "relu", self.dtype, train)
         mult = 4
@@ -420,7 +440,7 @@ class ResnetGenerator3D(nn.Module):
         h = checkpoint_name(h, "g_trunk_in")
         for _ in range(self.n_blocks):
             h = ResnetBlock3D(self.ngf * mult, self.norm, self.use_dropout, bias,
-                              ki, self.dtype)(h, train)
+                              ki, self.dtype, dead_bias=dead)(h, train)
         h = checkpoint_name(h, "g_trunk_out")
         for i in range(2):  # upsample
             mult = 2 ** (2 - i)
@@ -430,7 +450,7 @@ class ResnetGenerator3D(nn.Module):
             # conv's FLOP blowup and backward exceed the regroup savings)
             h = ConvTranspose3D(self.ngf * mult // 2, 3, stride=2, padding=1,
                                 output_padding=1, use_bias=bias, kernel_init=ki,
-                                dtype=self.dtype,
+                                dtype=self.dtype, dead_bias=dead,
                                 cells_out=(2 if cells and last else 0))(h)
             if cells and last:
                 h = instance_norm_act_grouped(h, 8, 1e-5, "relu")
@@ -706,6 +726,7 @@ class NLayerDiscriminator3D(nn.Module):
     def __call__(self, x, train: bool = True):
         ki = get_initializer(self.init_type, self.init_gain)
         bias = _use_bias(self.norm)
+        dead = self.norm == "instance"  # see Conv3D.dead_bias
         h = Conv3D(self.ndf, 4, stride=2, padding=1, use_bias=True,
                    kernel_init=ki, dtype=self.dtype,
                    cells_in=(4 if self.cells_io else 0))(x)
@@ -713,11 +734,11 @@ class NLayerDiscriminator3D(nn.Module):
         nf = 1
         for n in range(1, self.n_layers):
             nf = min(2 ** n, 8)
-            h = Conv3D(self.ndf * nf, 4, stride=2, padding=1, use_bias=bias,
+            h = Conv3D(self.ndf * nf, 4, stride=2, padding=1, use_bias=bias, dead_bias=dead,
                        kernel_init=ki, dtype=self.dtype)(h)
             h = _norm_act(h, self.norm, "leaky_relu", self.dtype, train)
         nf = min(2 ** self.n_layers, 8)
-        h = Conv3D(self.ndf * nf, 4, stride=1, padding=1, use_bias=bias,
+        h = Conv3D(self.ndf * nf, 4, stride=1, padding=1, use_bias=bias, dead_bias=dead,
                    kernel_init=ki, dtype=self.dtype)(h)
         h = _norm_act(h, self.norm, "leaky_relu", self.dtype, train)
         h = Conv3D(1, 4, stride=1, padding=1, use_bias=True,
@@ -748,7 +769,8 @@ class PixelDiscriminator3D(nn.Module):
         bias = _use_bias(self.norm)
         h = Conv3D(self.ndf, 1, use_bias=True, kernel_init=ki, dtype=self.dtype)(x)
         h = jax.nn.leaky_relu(h, 0.2)
-        h = Conv3D(self.ndf * 2, 1, use_bias=bias, kernel_init=ki, dtype=self.dtype)(h)
+        h = Conv3D(self.ndf * 2, 1, use_bias=bias, kernel_init=ki,
+                   dtype=self.dtype, dead_bias=(self.norm == "instance"))(h)
         h = Norm3D(self.norm, self.dtype)(h, train)
         h = jax.nn.leaky_relu(h, 0.2)
         h = Conv3D(1, 1, use_bias=bias, kernel_init=ki, dtype=self.dtype)(h)

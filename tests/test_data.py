@@ -187,7 +187,7 @@ def test_dataset_and_loader(tmp_path):
     other_epoch = ds.sample_patches(0, epoch=1)
     assert not np.array_equal(patches[0][0], other_epoch[0][0])
     # cache hit path
-    assert len(list((tmp_path / "cache").glob("*.npz"))) > 0
+    assert len(list((tmp_path / "cache").glob("*.image.npy"))) > 0
 
     loader = PatchLoader(ds, batch_size=2, workers=1)
     batches = list(loader.epoch(0))
