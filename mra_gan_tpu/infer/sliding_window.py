@@ -90,11 +90,7 @@ def sliding_window_inference(
     # (reference test.py:111-113), so stride_layer maps to the LAST axis
     strides = (int(stride_inplane), int(stride_inplane), int(stride_layer))
     if all(p % s == 0 for p, s in zip(patch, strides)):
-        # streaming chunks the leading axis in stride-thick slabs, which
-        # requires its clamped grid to be purely regular (no flush start);
-        # otherwise the monolithic fast path handles the flush classes
-        if (volume.shape[0] > patch[0]
-                and (volume.shape[0] - patch[0]) % strides[0] == 0):
+        if volume.shape[0] > patch[0]:
             return _streaming_overlap_add(volume, generate_fn, patch, strides,
                                           blend, batch, transfer_dtype,
                                           input_transfer_dtype)
@@ -239,11 +235,17 @@ def _streaming_overlap_add(volume, generate_fn, patch, strides, blend, batch,
     format is transfer_dtype."""
     in_dtype = transfer_dtype if input_transfer_dtype is None else input_transfer_dtype
     vshape = volume.shape
-    # leading axis is exactly regular (dispatcher precondition); trailing
-    # axes use the clamped reference grid via _axis_classes
-    padded = [vshape[0], max(vshape[1], patch[1]), max(vshape[2], patch[2])]
     sd, rsd = strides[0], patch[0] // strides[0]
-    n_rows = (padded[0] - patch[0]) // sd + 1
+    # leading-axis clamped grid: regular rows at a*sd plus (when stride
+    # doesn't divide vshape[0]-patch[0]) one FLUSH row at f0 = v0 - p0 —
+    # the reference's boundary patch. The volume zero-pads only up to the
+    # chunk granularity; no patch ever reads padding (the flush row ends
+    # exactly at the volume edge).
+    f0 = vshape[0] - patch[0]
+    has_flush = f0 % sd != 0
+    n_reg = f0 // sd + 1
+    padded = [-(-vshape[0] // sd) * sd,
+              max(vshape[1], patch[1]), max(vshape[2], patch[2])]
     m_chunks = padded[0] // sd
 
     vol = np.pad(np.asarray(volume).astype(in_dtype),
@@ -263,8 +265,9 @@ def _streaming_overlap_add(volume, generate_fn, patch, strides, blend, batch,
     starts2_b = starts2.reshape(-1, batch, 2)
 
     win = gaussian_window(patch) if blend == "gaussian" else np.ones(patch, np.float32)
-    starts3 = np.array([(a * strides[0], b, c)
-                        for a in range(n_rows) for (b, c) in starts2[:n2]],
+    row_starts = [a * sd for a in range(n_reg)] + ([f0] if has_flush else [])
+    starts3 = np.array([(a, b, c)
+                        for a in row_starts for (b, c) in starts2[:n2]],
                        np.int32)
     wsum = _weight_volume(patch, strides, blend, padded, starts3, win)
 
@@ -278,48 +281,61 @@ def _streaming_overlap_add(volume, generate_fn, patch, strides, blend, batch,
                     for k in range(m_chunks)]
         _DECODE_CACHE[dwkey] = dwchunks
 
-    rkey = ("stream-row", id(generate_fn), geom)
-    decode_row = _DECODE_CACHE.get(rkey)
-    if decode_row is None:
-        @jax.jit
-        def decode_row(chunks, starts2_b, win):
-            vol_row = jnp.concatenate(chunks, axis=0).astype(jnp.float32)
+    def decode_row_for(q0: int):
+        """Row decoder reading its patch slab at static offset q0 into the
+        concatenated input chunks (0 for regular rows; the sub-chunk
+        remainder for the flush row, which receives rsd+1 chunks)."""
+        rkey = ("stream-row", id(generate_fn), geom, q0)
+        fn = _DECODE_CACHE.get(rkey)
+        if fn is None:
+            @jax.jit
+            def fn(chunks, starts2_b, win):
+                vol_row = jnp.concatenate(chunks, axis=0).astype(jnp.float32)
+                vol_row = jax.lax.slice_in_dim(vol_row, q0, q0 + patch[0], axis=0)
 
-            def body(_, sb):
-                patches = jax.vmap(
-                    lambda s: jax.lax.dynamic_slice(
-                        vol_row, (0, s[0], s[1]), patch)
-                )(sb)
-                out = generate_fn(patches[..., None])[..., 0].astype(jnp.float32)
-                return None, out * win
+                def body(_, sb):
+                    patches = jax.vmap(
+                        lambda s: jax.lax.dynamic_slice(
+                            vol_row, (0, s[0], s[1]), patch)
+                    )(sb)
+                    out = generate_fn(patches[..., None])[..., 0].astype(jnp.float32)
+                    return None, out * win
 
-            _, outs = jax.lax.scan(body, None, starts2_b)
-            outs = outs.reshape(-1, *patch)[:n2].reshape(*ns12, *patch)
+                _, outs = jax.lax.scan(body, None, starts2_b)
+                outs = outs.reshape(-1, *patch)[:n2].reshape(*ns12, *patch)
 
-            acc = jnp.zeros((patch[0], padded[1], padded[2]), jnp.float32)
-            for i1, st1, c1, off1 in classes12[0]:
-                for i2, st2, c2, off2 in classes12[1]:
-                    sel = outs[i1:i1 + st1 * c1:st1, i2:i2 + st2 * c2:st2]
-                    dense = sel.transpose(2, 0, 3, 1, 4).reshape(
-                        patch[0], c1 * patch[1], c2 * patch[2])
-                    off = (off1, off2)
-                    pad_cfg = [(0, 0)] + [
-                        (off[i], padded[i + 1] - off[i] - dense.shape[i + 1])
-                        for i in range(2)]
-                    acc = acc + jnp.pad(dense, pad_cfg)
-            return acc
+                acc = jnp.zeros((patch[0], padded[1], padded[2]), jnp.float32)
+                for i1, st1, c1, off1 in classes12[0]:
+                    for i2, st2, c2, off2 in classes12[1]:
+                        sel = outs[i1:i1 + st1 * c1:st1, i2:i2 + st2 * c2:st2]
+                        dense = sel.transpose(2, 0, 3, 1, 4).reshape(
+                            patch[0], c1 * patch[1], c2 * patch[2])
+                        off = (off1, off2)
+                        pad_cfg = [(0, 0)] + [
+                            (off[i], padded[i + 1] - off[i] - dense.shape[i + 1])
+                            for i in range(2)]
+                        acc = acc + jnp.pad(dense, pad_cfg)
+                return acc
 
-        _DECODE_CACHE[rkey] = decode_row
+            _DECODE_CACHE[rkey] = fn
+        return fn
 
-    def combine_for(n_contrib):
-        ckey = ("stream-combine", geom, n_contrib)
+    def combine_for(spec):
+        """spec: per contributing row (start_in_row, pad_lo, length) — all
+        static; length < sd only for the flush row's partial first/last
+        chunk, which is zero-padded into the chunk frame."""
+        ckey = ("stream-combine", geom, spec)
         fn = _DECODE_CACHE.get(ckey)
         if fn is None:
-            @partial(jax.jit, static_argnums=2)
-            def fn(rows, dw, offs):
-                acc = rows[0][offs[0] * sd:(offs[0] + 1) * sd]
-                for r, o in zip(rows[1:], offs[1:]):
-                    acc = acc + r[o * sd:(o + 1) * sd]
+            @jax.jit
+            def fn(rows, dw):
+                acc = None
+                for r, (start, pad_lo, ln) in zip(rows, spec):
+                    piece = jax.lax.slice_in_dim(r, start, start + ln, axis=0)
+                    if ln != sd:
+                        piece = jnp.pad(piece, [(pad_lo, sd - pad_lo - ln),
+                                                (0, 0), (0, 0)])
+                    acc = piece if acc is None else acc + piece
                 return (acc / dw).astype(jnp.dtype(transfer_dtype))
 
             _DECODE_CACHE[ckey] = fn
@@ -332,16 +348,30 @@ def _streaming_overlap_add(volume, generate_fn, patch, strides, blend, batch,
     dstarts = jax.device_put(starts2_b)
     dwin = jax.device_put(win)
 
+    k0 = f0 // sd  # first chunk the flush row reads
+    n_rows = n_reg + (1 if has_flush else 0)
     rows = [None] * n_rows
     outs = []
     for k in range(m_chunks):
-        contrib = [a for a in range(max(0, k - rsd + 1), min(k, n_rows - 1) + 1)]
-        for a in contrib:
+        # (row index, start_in_row, pad_lo, length) for output chunk k
+        contrib = []
+        for a in range(max(0, k - rsd + 1), min(k, n_reg - 1) + 1):
+            contrib.append((a, (k - a) * sd, 0, sd))
+        if has_flush:
+            lo = max(k * sd, f0)
+            hi = min((k + 1) * sd, vshape[0])
+            if lo < hi:
+                contrib.append((n_reg, lo - f0, lo - k * sd, hi - lo))
+        for a, _, _, _ in contrib:
             if rows[a] is None:
-                rows[a] = decode_row(tuple(dchunks[a:a + rsd]), dstarts, dwin)
-        fn = combine_for(len(contrib))
-        out = fn(tuple(rows[a] for a in contrib), dwchunks[k],
-                 tuple(k - a for a in contrib))
+                if has_flush and a == n_reg:
+                    rows[a] = decode_row_for(f0 - k0 * sd)(
+                        tuple(dchunks[k0:k0 + rsd + 1]), dstarts, dwin)
+                else:
+                    rows[a] = decode_row_for(0)(
+                        tuple(dchunks[a:a + rsd]), dstarts, dwin)
+        fn = combine_for(tuple(c[1:] for c in contrib))
+        out = fn(tuple(rows[a] for a, *_ in contrib), dwchunks[k])
         try:
             out.copy_to_host_async()
         except AttributeError:

@@ -143,3 +143,38 @@ def test_bf16_input_wire_exact_for_bf16_generator():
                                        stride_inplane=4, stride_layer=4, batch=2,
                                        input_transfer_dtype=jnp.bfloat16)
     np.testing.assert_array_equal(bf16_in, base)
+
+
+def test_streaming_flush_row_matches_monolithic():
+    """Non-divisible leading axis ((21-8)%4 != 0) streams with a FLUSH row;
+    the result must equal the monolithic clamped-grid overlap-add and the
+    per-patch scan path bit-for-bit (same grid, same math). A non-identity
+    spatially-varying generator catches mis-placed flush contributions."""
+    from mra_gan_tpu.infer.sliding_window import (_overlap_add_inference,
+                                                  _scan_inference,
+                                                  _streaming_overlap_add)
+
+    vol = np.random.RandomState(5).rand(21, 14, 18).astype(np.float32)
+
+    def gen(x):  # per-patch normalization: sensitive to patch placement
+        m = x.mean(axis=(1, 2, 3, 4), keepdims=True)
+        return (x - m) * 0.5 + x ** 2 * 0.1
+
+    patch, strides = (8, 8, 8), (4, 4, 4)
+    for blend in ("uniform", "gaussian"):
+        want = _overlap_add_inference(vol, gen, patch, strides, blend, 2)
+        got = _streaming_overlap_add(vol, gen, patch, strides, blend, 2)
+        np.testing.assert_allclose(got, want, atol=2e-6,
+                                   err_msg=f"stream vs monolithic ({blend})")
+        scan = _scan_inference(vol, gen, patch, strides, blend, 2)
+        np.testing.assert_allclose(got, scan, atol=1e-5,
+                                   err_msg=f"stream vs scan ({blend})")
+
+
+def test_streaming_flush_row_via_public_api():
+    """The dispatcher now streams non-divisible leading axes too; identity
+    reconstruction through the public entry point."""
+    vol = np.random.RandomState(6).rand(23, 16, 16).astype(np.float32)
+    out = sliding_window_inference(vol, lambda x: x, patch_size=(8, 8, 8),
+                                   stride_inplane=8, stride_layer=4, batch=2)
+    np.testing.assert_allclose(out, vol, atol=1e-4)
