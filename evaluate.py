@@ -59,8 +59,19 @@ def main(argv=None):
             return name[:-7] if name.endswith(".nii.gz") else name[:-4]
 
         def _index(d):
-            return {_stem(f.name): f for f in sorted(d.iterdir())
-                    if f.name.endswith((".nii", ".nii.gz"))}
+            out = {}
+            for f in sorted(d.iterdir()):
+                if not f.name.endswith((".nii", ".nii.gz")):
+                    continue
+                stem = _stem(f.name)
+                if stem in out:
+                    # a.nii AND a.nii.gz present: refusing beats silently
+                    # evaluating only one of them
+                    raise SystemExit(
+                        f"ambiguous pair in {d}: {out[stem].name} and "
+                        f"{f.name} share the basename {stem!r}")
+                out[stem] = f
+            return out
 
         preds, targs = _index(pred_path), _index(targ_path)
         stems = sorted(preds.keys() & targs.keys())

@@ -343,6 +343,26 @@ def _dynet_entries(params: dict) -> list:
     return entries
 
 
+def _dynet_alias_map(n_levels: int) -> list:
+    """MONAI DynUNet registers every block a SECOND time under
+    ``skip_layers`` (dynunet.py create_skips wraps the same module objects
+    in a DynUNetSkipLayer chain, and torch's state_dict does not dedup
+    shared submodules), so real checkpoints carry duplicate keys:
+    skip_layers(.next_layer)*i.downsample ≡ input_block / downsamples.{i-1},
+    skip_layers(.next_layer)*i.upsample ≡ upsamples.{n-2-i} (the chain is
+    built outermost-first over reversed upsamples), and the deepest
+    .next_layer chain IS the bottleneck. Returns (alias_prefix,
+    canonical_prefix) pairs."""
+    pairs = []
+    for i in range(n_levels - 1):
+        prefix = "skip_layers" + ".next_layer" * i
+        pairs.append((prefix + ".downsample",
+                      "input_block" if i == 0 else f"downsamples.{i - 1}"))
+        pairs.append((prefix + ".upsample", f"upsamples.{n_levels - 2 - i}"))
+    pairs.append(("skip_layers" + ".next_layer" * (n_levels - 1), "bottleneck"))
+    return pairs
+
+
 def _load_dynet(sd: dict, params) -> dict:
     import copy
 
@@ -355,10 +375,13 @@ def _load_dynet(sd: dict, params) -> dict:
         if kind in ("norm", "out"):
             want_keys.add(tb + ".bias")
     have = set(sd.keys())
-    if have != want_keys:
+    # skip_layers.* keys are aliases of the canonical blocks (shared
+    # storage, see _dynet_alias_map) — tolerated and ignored on import
+    extras = {k for k in have - want_keys if not k.startswith("skip_layers")}
+    if extras or (want_keys - have):
         raise ValueError(
             "Dynet checkpoint layout mismatch vs MONAI DynUNet "
-            f"(res_block=True): unexpected keys {sorted(have - want_keys)[:4]}, "
+            f"(res_block=True): unexpected keys {sorted(extras)[:4]}, "
             f"missing {sorted(want_keys - have)[:4]} — was the net built "
             "with different sizes/spacings (see dynet_sizes flags)?")
     for path, tb, kind in entries:
@@ -403,6 +426,12 @@ def _save_dynet(params, pth_path) -> None:
             sd[tb + ".weight"] = torch.tensor(np.transpose(k, (4, 3, 0, 1, 2)))
         if kind == "out":
             sd[tb + ".bias"] = torch.tensor(np.asarray(node["bias"], np.float32))
+    # duplicate every block under its skip_layers alias so MONAI's strict
+    # load_state_dict (which expects BOTH registrations) succeeds
+    n_levels = 2 + sum(1 for k in inner if k.startswith("downsamples_"))
+    for alias, canon in _dynet_alias_map(n_levels):
+        for key in [k for k in sd if k.startswith(canon + ".")]:
+            sd[alias + key[len(canon):]] = sd[key]
     torch.save(sd, pth_path)
 
 

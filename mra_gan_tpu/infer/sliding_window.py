@@ -137,7 +137,11 @@ def _weight_volume(patch, strides, blend, padded, starts, win):
     """Overlap-add of the blend window at every start. Cached per geometry —
     recomputing it was ~3 s of host time per 256x256x128 call, dwarfing the
     ~0.8 s device decode."""
-    wkey = ("wsum", patch, strides, blend, tuple(padded), len(starts))
+    # key on the CONTENT of the start set: with flush rows, volumes of
+    # different sizes can share (padded, len(starts)) but have different
+    # grids — a stale weight volume would silently mis-blend seams
+    wkey = ("wsum", patch, strides, blend, tuple(padded),
+            hash(np.asarray(starts, np.int32).tobytes()))
     wsum = _DECODE_CACHE.get(wkey)
     if wsum is None:
         wsum = np.zeros(padded, np.float32)
@@ -271,7 +275,9 @@ def _streaming_overlap_add(volume, generate_fn, patch, strides, blend, batch,
                        np.int32)
     wsum = _weight_volume(patch, strides, blend, padded, starts3, win)
 
-    geom = (patch, strides, blend, tuple(padded), batch,
+    # f0 pins the leading-axis row layout: padded[0] alone is ambiguous
+    # once flush rows exist (65 and 70 both chunk-pad to 96)
+    geom = (patch, strides, blend, tuple(padded), f0, batch,
             np.dtype(transfer_dtype).name, np.dtype(in_dtype).name)
 
     dwkey = ("stream-wsum", geom)

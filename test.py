@@ -35,9 +35,13 @@ from mra_gan_tpu.options import TestOptions
 
 
 def load_generator(opt):
-    """Restore the requested generator once: (cfg, jitted forward, params).
-    Raw restore — inference must not depend on the discriminator/optimizer
-    config the model was trained with."""
+    """Restore the requested generator once: (cfg, jitted forward, params,
+    net module). Raw restore — inference must not depend on the
+    discriminator/optimizer config the model was trained with. The net
+    module is built HERE, once: single_pass_apply and
+    sharded_generator_apply cache compiled programs on the module's
+    identity, so directory batch mode must hand every volume the same
+    object or it re-traces per volume."""
     from train import config_from_opt
 
     cfg = config_from_opt(opt)
@@ -47,14 +51,16 @@ def load_generator(opt):
     gen = make_generate_fn(cfg, which)
     params = jax.tree.map(jnp.asarray, tree["g_params"][which])
     gen_fn = jax.jit(lambda x: gen(params, x))
-    return cfg, gen_fn, params
+    g_a, g_b, _, _ = cfg.build_nets()
+    net = {"_A": g_a, "_B": g_b}[opt.model_suffix]
+    return cfg, gen_fn, params, net
 
 
 def inference(opt, loaded=None):
     # `loaded` lets batch (directory) mode restore the checkpoint and build
     # gen_fn ONCE — the decode-program cache keys on id(gen_fn), so reusing
     # it is what makes same-geometry volumes decode without re-tracing
-    cfg, gen_fn, params = loaded if loaded is not None else load_generator(opt)
+    cfg, gen_fn, params, net = loaded if loaded is not None else load_generator(opt)
     patch = tuple(int(p) for p in opt.patch_size)
 
     # --- read + preprocess (legacy convention: 0-255 then [-1,1],
@@ -91,8 +97,6 @@ def inference(opt, loaded=None):
         # fits; use --spatial_shard to split larger volumes over a mesh)
         from mra_gan_tpu.parallel.spatial import single_pass_apply
 
-        g_a, g_b, _, _ = cfg.build_nets()
-        net = {"_A": g_a, "_B": g_b}[opt.model_suffix]
         out = single_pass_apply(net, params, vol)
     elif opt.spatial_shard and len(jax.devices()) > 1:
         # single-pass whole-volume forward, volume depth-sharded over the
@@ -102,8 +106,6 @@ def inference(opt, loaded=None):
 
         mesh = make_mesh()
         n = mesh.shape["data"]
-        g_a, g_b, _, _ = cfg.build_nets()
-        net = {"_A": g_a, "_B": g_b}[opt.model_suffix]
         shp = vol.shape
         mult = (4 * n, 4, 4)
         pads = [(-len_ % m) for len_, m in zip(shp, mult)]

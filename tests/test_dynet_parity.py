@@ -103,9 +103,22 @@ class _OutBlock(torch.nn.Module):
         return self.conv(x)
 
 
+class _SkipLayer(torch.nn.Module):
+    """MONAI DynUNetSkipLayer: re-registers the SAME block modules under a
+    skip_layers chain, so state_dict carries duplicate (aliased) keys —
+    real reference checkpoints have them (monai dynunet.py create_skips)."""
+
+    def __init__(self, downsample, upsample, next_layer):
+        super().__init__()
+        self.downsample = downsample
+        self.next_layer = next_layer
+        self.upsample = upsample
+
+
 class TorchDynUNetReplica(torch.nn.Module):
     """monai.networks.nets.DynUNet(spatial_dims=3, res_block=True) + the
-    reference's Tanh head, with MONAI's exact parameter-key layout."""
+    reference's Tanh head, with MONAI's exact parameter-key layout
+    (including the skip_layers shared-module aliases)."""
 
     def __init__(self, sizes, spacings, in_ch=1, out_ch=1):
         super().__init__()
@@ -124,6 +137,14 @@ class TorchDynUNetReplica(torch.nn.Module):
              for i in reversed(range(n - 1))])
         self.output_block = _OutBlock(f[0], out_ch)
         self.activation = torch.nn.Tanh()
+        # the alias chain: outermost skip holds (input_block, top upsample),
+        # deepest next_layer IS the bottleneck
+        skip = self.bottleneck
+        downs = [self.input_block] + list(self.downsamples)
+        ups_top_first = list(self.upsamples)[::-1]
+        for i in reversed(range(n - 1)):
+            skip = _SkipLayer(downs[i], ups_top_first[i], skip)
+        self.skip_layers = skip
 
     def forward(self, x):
         h = self.input_block(x)

@@ -168,14 +168,17 @@ def main(argv=None):
         lr = sched.lr_for_epoch(epoch, metric=last_metric)
         timer = StepTimer()
         epoch_iter = 0
-        # plateau metric: device-side running sum of the step's total loss,
-        # fetched ONCE at epoch end — every step contributes (print_freq
-        # no longer gates it), and no per-step host sync is added. The
+        # plateau metric: epoch mean of the total loss over the print-time
+        # samples PLUS one guaranteed end-of-epoch sample, so the scheduler
+        # always sees a real metric regardless of print_freq — at zero
+        # per-step cost (per-step host-side jnp sums would dispatch ~10
+        # one-off device ops per hot-loop step; one-off dispatches cost
+        # 1.5-3.5 ms on the tunneled backend, see CLAUDE.md). The
         # reference's plateau policy is actually unusable: its
         # scheduler.step() call passes no metric
         # (reference models/base_model.py:66-67), which raises TypeError
-        # for ReduceLROnPlateau — our epoch-mean metric is the recorded fix.
-        msum, msteps = None, 0
+        # for ReduceLROnPlateau — this epoch-mean metric is the recorded fix.
+        msum, msteps = 0.0, 0
         for image_b, label_b in loader.epoch(epoch):
             timer.data_ready()
             # AtoB: image -> real_A, label -> real_B (reference train.py:123
@@ -191,13 +194,12 @@ def main(argv=None):
                 vr = (-1.0, 1.0) if opt.pipeline == "legacy" else None
                 a, b = augment_batch(a, b, aug_rng, value_range=vr)
             state, metrics = step(state, a, b, step_rng, lr)
-            step_total = sum(metrics.values())  # lazy device scalar
-            msum = step_total if msum is None else msum + step_total
-            msteps += 1
             total_steps += opt.batch_size
             epoch_iter += opt.batch_size
             if total_steps % opt.print_freq == 0:
                 metrics_host = {k: float(v) for k, v in metrics.items()}
+                msum += sum(metrics_host.values())
+                msteps += 1
                 timer.step_done()
                 visualizer.print_current_losses(
                     epoch, epoch_iter, metrics_host,
@@ -210,8 +212,10 @@ def main(argv=None):
             jax.profiler.stop_trace()
             print(f"profiler trace written to {opt.profile_dir}")
             profiling = False
-        if msteps:
-            last_metric = float(jax.device_get(msum)) / msteps
+        if epoch_iter:
+            msum += sum(float(v) for v in jax.device_get(metrics).values())
+            msteps += 1
+            last_metric = msum / msteps
         if epoch % opt.save_epoch_freq == 0:
             print(f"saving the model at the end of epoch {epoch}, iters {total_steps}")
             ckpt.save(epoch, state, also_latest=True)
