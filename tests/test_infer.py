@@ -178,3 +178,18 @@ def test_streaming_flush_row_via_public_api():
     out = sliding_window_inference(vol, lambda x: x, patch_size=(8, 8, 8),
                                    stride_inplane=8, stride_layer=4, batch=2)
     np.testing.assert_allclose(out, vol, atol=1e-4)
+
+
+def test_weight_cache_not_shared_across_flush_geometries():
+    """Two volumes whose leading sizes differ but chunk-pad identically
+    (65 and 70 -> 96 with patch 64/stride 32... scaled down here: 17 and 22
+    with patch 16/stride 8) must NOT share a cached blend-weight volume —
+    their flush rows sit at different offsets, and a stale weight volume
+    silently mis-blends the seam band (round-3 review finding)."""
+    for lead in (17, 22, 19):  # same padded leading size, different grids
+        vol = np.random.RandomState(lead).rand(lead, 16, 16).astype(np.float32)
+        out = sliding_window_inference(vol, lambda x: x, patch_size=(16, 16, 16),
+                                       stride_inplane=8, stride_layer=8,
+                                       blend="uniform", batch=2)
+        np.testing.assert_allclose(out, vol, atol=1e-4,
+                                   err_msg=f"lead={lead}")
