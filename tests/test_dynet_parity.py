@@ -238,3 +238,40 @@ def test_dynet_against_real_monai(ours, tmp_path):
     got = np.asarray(ours.apply(params, jnp.asarray(x), train=False))
     want = _torch_forward(torch.nn.Sequential(net), x)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_convert_checkpoint_cli_dynet_roundtrip(tmp_path):
+    """convert_checkpoint.py with --netG Dynet: Orbax -> MONAI-layout .pth
+    (strict-loadable by the torch replica) -> Orbax, bit-identical."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import convert_checkpoint as cc
+    from mra_gan_tpu.checkpoint import CheckpointManager
+    from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state
+
+    cfg = CycleGANConfig(ngf=4, ndf=4, net_g="Dynet", n_layers_d=1,
+                         pool_size=1, dynet_sizes=SIZES)
+    state = create_state(cfg, jax.random.PRNGKey(0), INPUT)
+    CheckpointManager(tmp_path / "ck", "src").save("latest", state,
+                                                   also_latest=False)
+    flags = ["--netG", "Dynet", "--ngf", "4", "--ndf", "4",
+             "--n_layers_D", "1", "--patch_size", "32", "32", "16",
+             "--pool_size", "1"]
+    td = tmp_path / "torch"
+    cc.main(["--to_torch", "--torch_dir", str(td), "--checkpoints_dir",
+             str(tmp_path / "ck"), "--name", "src", *flags])
+
+    tnet = TorchDynUNetReplica(SIZES, SPACINGS)
+    tnet.load_state_dict(torch.load(td / "latest_net_G_A.pth",
+                                    weights_only=True), strict=True)
+
+    cc.main(["--from_torch", "--torch_dir", str(td), "--checkpoints_dir",
+             str(tmp_path / "ck"), "--name", "back", *flags])
+    template = create_state(cfg, jax.random.PRNGKey(1), INPUT)
+    back = CheckpointManager(tmp_path / "ck", "back").restore("latest",
+                                                              template)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(state.g_params)[0],
+            jax.tree_util.tree_flatten_with_path(back.g_params)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   err_msg=jax.tree_util.keystr(kp))
