@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="the torch nets were built with dropout (shifts the "
                         "resnet block key indices)")
     p.add_argument("--patch_size", type=int, nargs=3, default=[64, 64, 64])
+    p.add_argument("--dynet_sizes", type=int, nargs=3, default=[128, 128, 64],
+                   help="Dynet auto-schedule sizes (the reference hard-codes "
+                        "[128,128,64] independent of patch size)")
+    p.add_argument("--dynet_spacings", type=float, nargs=3,
+                   default=[1.5, 1.5, 1.5])
     p.add_argument("--pool_size", type=int, default=50,
                    help="replay-buffer size of the training run that will "
                         "resume from the imported checkpoint")
@@ -75,7 +80,8 @@ def main(argv=None):
         ndf=opt.ndf, net_g=opt.netG, net_d=opt.netD,
         n_layers_d=opt.n_layers_D, norm=opt.norm,
         no_dropout=not opt.use_dropout, pool_size=opt.pool_size,
-        dynet_sizes=tuple(opt.patch_size))
+        dynet_sizes=tuple(getattr(opt, "dynet_sizes", (128, 128, 64))),
+        dynet_spacings=tuple(getattr(opt, "dynet_spacings", (1.5, 1.5, 1.5))))
     ckpt = CheckpointManager(opt.checkpoints_dir, opt.name)
 
     def arch(net):

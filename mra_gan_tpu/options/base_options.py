@@ -32,6 +32,18 @@ class BaseOptions:
         parser.add_argument("--batch_size", type=int, default=1, help="input batch size")
         parser.add_argument("--patch_size", type=int, nargs=3, default=[64, 64, 64],
                             help="Size of the patches extracted from the image")
+        parser.add_argument("--dynet_sizes", type=int, nargs=3,
+                            default=[128, 128, 64],
+                            help="Dynet auto-schedule input sizes — the "
+                                 "reference hard-codes [128,128,64] "
+                                 "(reference models/networks3D.py:348) "
+                                 "INDEPENDENT of the training patch size; "
+                                 "keep the default to match reference "
+                                 "checkpoints")
+        parser.add_argument("--dynet_spacings", type=float, nargs=3,
+                            default=[1.5, 1.5, 1.5],
+                            help="Dynet auto-schedule voxel spacings "
+                                 "(reference models/networks3D.py:348)")
         parser.add_argument("--input_nc", type=int, default=1, help="# of input image channels")
         parser.add_argument("--output_nc", type=int, default=1, help="# of output image channels")
         parser.add_argument("--resample", action="store_true",

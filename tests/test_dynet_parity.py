@@ -254,9 +254,11 @@ def test_convert_checkpoint_cli_dynet_roundtrip(tmp_path):
     state = create_state(cfg, jax.random.PRNGKey(0), INPUT)
     CheckpointManager(tmp_path / "ck", "src").save("latest", state,
                                                    also_latest=False)
+    # --dynet_sizes sets the schedule (reference-hardcoded 128,128,64 by
+    # default) independently of --patch_size, which only shapes the pools
     flags = ["--netG", "Dynet", "--ngf", "4", "--ndf", "4",
-             "--n_layers_D", "1", "--patch_size", "32", "32", "16",
-             "--pool_size", "1"]
+             "--n_layers_D", "1", "--dynet_sizes", "32", "32", "16",
+             "--patch_size", "16", "16", "8", "--pool_size", "1"]
     td = tmp_path / "torch"
     cc.main(["--to_torch", "--torch_dir", str(td), "--checkpoints_dir",
              str(tmp_path / "ck"), "--name", "src", *flags])

@@ -43,7 +43,10 @@ def config_from_opt(opt) -> CycleGANConfig:
         lambda_co_b=getattr(opt, "lambda_co_B", 2.0),
         pool_size=getattr(opt, "pool_size", 50),
         beta1=getattr(opt, "beta1", 0.5),
-        dynet_sizes=tuple(int(x) for x in opt.patch_size),
+        dynet_sizes=tuple(int(x) for x in getattr(opt, "dynet_sizes",
+                                                   (128, 128, 64))),
+        dynet_spacings=tuple(float(x) for x in getattr(opt, "dynet_spacings",
+                                                       (1.5, 1.5, 1.5))),
         dtype=get_policy(opt.precision).compute_dtype,
         remat=getattr(opt, "remat", False),
     )
