@@ -127,7 +127,10 @@ def _bench_loader():
 
 
 def main() -> None:
+    from mra_gan_tpu.core.compile_cache import enable_compilation_cache
     from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state, make_train_step
+
+    enable_compilation_cache()
 
     cfg = CycleGANConfig(ngf=32, ndf=32, net_g="resnet_6blocks", net_d="n_layers",
                          n_layers_d=3, pool_size=50, dtype=jnp.bfloat16)
