@@ -97,6 +97,12 @@ def main(argv=None):
         print("WARNING: --spatial_parallel ignored — only one device is "
               "visible; running the single-chip step")
     if getattr(opt, "spatial_parallel", False) and len(jax.devices()) > 1:
+        if opt.netG == "Dynet":
+            raise SystemExit(
+                "--spatial_parallel does not support --netG Dynet: its "
+                "mixed [2,2,1] strides and kernel=stride transposed convs "
+                "have no depth-sharded halo form. Use --data_parallel, or "
+                "the single-chip step (resnet_*/unet_* shard fine).")
         from mra_gan_tpu.core.mesh import DATA_AXIS, SPACE_AXIS, make_mesh
         from mra_gan_tpu.parallel.spatial import (make_spatial_train_step,
                                                   shard_spatial_state)
