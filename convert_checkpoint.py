@@ -80,8 +80,8 @@ def main(argv=None):
         ndf=opt.ndf, net_g=opt.netG, net_d=opt.netD,
         n_layers_d=opt.n_layers_D, norm=opt.norm,
         no_dropout=not opt.use_dropout, pool_size=opt.pool_size,
-        dynet_sizes=tuple(getattr(opt, "dynet_sizes", (128, 128, 64))),
-        dynet_spacings=tuple(getattr(opt, "dynet_spacings", (1.5, 1.5, 1.5))))
+        dynet_sizes=tuple(opt.dynet_sizes),
+        dynet_spacings=tuple(opt.dynet_spacings))
     ckpt = CheckpointManager(opt.checkpoints_dir, opt.name)
 
     def arch(net):

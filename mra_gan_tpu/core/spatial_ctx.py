@@ -50,6 +50,27 @@ def spatial_sharding(axis_name: str, n_devices: int,
         _DP_CTX.reset(tok2)
 
 
+_DP_BATCH_HINT: contextvars.ContextVar = contextvars.ContextVar(
+    "mra_dp_batch_hint", default=1)
+
+
+def dp_batch_divisor() -> int:
+    """How many ways the batch axis is GSPMD-sharded during this trace (1
+    when not data-parallel). Batch-gated op variants (ops/s2d.py) divide
+    the traced global batch by this to recover the per-device batch the
+    single-chip measurements were made at."""
+    return _DP_BATCH_HINT.get()
+
+
+@contextlib.contextmanager
+def dp_batch_sharded(n_devices: int):
+    tok = _DP_BATCH_HINT.set(max(1, int(n_devices)))
+    try:
+        yield
+    finally:
+        _DP_BATCH_HINT.reset(tok)
+
+
 @contextlib.contextmanager
 def spatial_unsharded():
     """Temporarily clear the spatial-sharding context — for subgraphs that

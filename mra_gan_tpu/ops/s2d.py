@@ -42,8 +42,10 @@ def space_to_depth(x: jax.Array, f: int) -> jax.Array:
     at batch > 4 the monolithic transpose wins (per-axis form regressed
     batch-8 227 -> 233 ms) — XLA's layout choices flip with the batch
     dimension, both measured on v5e."""
+    from ..core.spatial_ctx import dp_batch_divisor
+
     n, d, h, w, c = x.shape
-    if n > 4:
+    if n // dp_batch_divisor() > 4:  # gate on the PER-DEVICE batch
         x = x.reshape(n, d // f, f, h // f, f, w // f, f, c)
         x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
         return x.reshape(n, d // f, h // f, w // f, f * f * f * c)
@@ -57,9 +59,11 @@ def space_to_depth(x: jax.Array, f: int) -> jax.Array:
 
 def depth_to_space(x: jax.Array, f: int) -> jax.Array:
     """Inverse of space_to_depth; same batch-gated decomposition."""
+    from ..core.spatial_ctx import dp_batch_divisor
+
     n, d, h, w, fc = x.shape
     c = fc // (f * f * f)
-    if n > 4:
+    if n // dp_batch_divisor() > 4:
         x = x.reshape(n, d, h, w, f, f, f, c)
         x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
         return x.reshape(n, d * f, h * f, w * f, c)

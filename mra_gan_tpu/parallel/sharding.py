@@ -29,12 +29,21 @@ def shard_state(state: CycleGANState, mesh: Mesh) -> CycleGANState:
 def make_sharded_train_step(cfg: CycleGANConfig, mesh: Mesh):
     """Jit the train step with batch inputs sharded over the data axis and
     all state replicated. Returns (step_fn, batch_sharding)."""
+    from ..core.spatial_ctx import dp_batch_sharded
+
     base_step = make_train_step(cfg)
     rep = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    n_dp = mesh.shape[DATA_AXIS]
+
+    def hinted_step(state, a, b, rng, lr):
+        # trace-time hint: ops see GLOBAL (pjit) shapes, but batch-gated
+        # variants should key on the PER-DEVICE batch GSPMD gives each chip
+        with dp_batch_sharded(n_dp):
+            return base_step(state, a, b, rng, lr)
 
     step = jax.jit(
-        base_step,
+        hinted_step,
         in_shardings=(rep, batch_sh, batch_sh, rep, None),
         out_shardings=(rep, rep),
         donate_argnums=0,

@@ -168,6 +168,7 @@ def sharded_generator_apply(
     with shard depth >= 4 (two stride-2 halvings + the 7^3 stem halo)."""
     from ..core.spatial_ctx import spatial_sharding
 
+    _reject_dynet_sharding(net)
     n = mesh.shape[axis_name]
     d = volume.shape[0]
     assert d % (4 * n) == 0 and d // n >= 4, (
@@ -226,6 +227,22 @@ def shard_spatial_state(state, mesh: Mesh, axis_name: str, cfg=None):
         step=jax.device_put(state.step, rep))
 
 
+def _reject_dynet_sharding(net_or_name):
+    """Dynet has no depth-sharded form: its mixed [2,2,1] strides and
+    kernel=stride transposed convs do not fit the halo-exchange machinery.
+    Raise the explanatory error at the mechanism level so every caller
+    (train.py --spatial_parallel, test.py --spatial_shard, library users)
+    gets it instead of an obscure shape/type failure."""
+    name = getattr(net_or_name, "__class__", type(None)).__name__         if not isinstance(net_or_name, str) else net_or_name
+    if name in ("Dynet", "DynUNet3D"):
+        raise ValueError(
+            "spatial (depth-sharded) execution does not support the Dynet "
+            "generator: its mixed [2,2,1] strides and kernel=stride "
+            "transposed convs have no halo-exchange form. Use data "
+            "parallelism or the single-chip step (resnet_*/unet_* shard "
+            "fine).")
+
+
 def make_spatial_train_step(cfg, mesh: Mesh, axis_name: str = "space",
                             data_axis: str = None):
     """Full CycleGAN train step with every volume DEPTH-SHARDED across
@@ -257,6 +274,7 @@ def make_spatial_train_step(cfg, mesh: Mesh, axis_name: str = "space",
     Returns (step_fn, input_sharding); states go through
     ``shard_spatial_state`` first.
     """
+    _reject_dynet_sharding(cfg.net_g)
     from jax.sharding import NamedSharding
 
     from ..core.spatial_ctx import spatial_sharding

@@ -243,8 +243,6 @@ def test_dynet_against_real_monai(ours, tmp_path):
 def test_convert_checkpoint_cli_dynet_roundtrip(tmp_path):
     """convert_checkpoint.py with --netG Dynet: Orbax -> MONAI-layout .pth
     (strict-loadable by the torch replica) -> Orbax, bit-identical."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     import convert_checkpoint as cc
     from mra_gan_tpu.checkpoint import CheckpointManager
     from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state

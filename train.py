@@ -62,6 +62,15 @@ def main(argv=None):
     enable_compilation_cache()
     cfg = config_from_opt(opt)
     patch = tuple(int(p) for p in opt.patch_size)
+    if getattr(opt, "spatial_parallel", False) and opt.netG == "Dynet":
+        # fail BEFORE dataset construction / network init / the minutes-long
+        # TPU claim (make_spatial_train_step raises the same error at the
+        # mechanism level for library users)
+        raise SystemExit(
+            "--spatial_parallel does not support --netG Dynet: its mixed "
+            "[2,2,1] strides and kernel=stride transposed convs have no "
+            "depth-sharded halo form. Use --data_parallel, or the "
+            "single-chip step (resnet_*/unet_* shard fine).")
 
     dataset = UnpairedVolumeDataset(
         opt.data_path,
@@ -97,12 +106,6 @@ def main(argv=None):
         print("WARNING: --spatial_parallel ignored — only one device is "
               "visible; running the single-chip step")
     if getattr(opt, "spatial_parallel", False) and len(jax.devices()) > 1:
-        if opt.netG == "Dynet":
-            raise SystemExit(
-                "--spatial_parallel does not support --netG Dynet: its "
-                "mixed [2,2,1] strides and kernel=stride transposed convs "
-                "have no depth-sharded halo form. Use --data_parallel, or "
-                "the single-chip step (resnet_*/unet_* shard fine).")
         from mra_gan_tpu.core.mesh import DATA_AXIS, SPACE_AXIS, make_mesh
         from mra_gan_tpu.parallel.spatial import (make_spatial_train_step,
                                                   shard_spatial_state)
