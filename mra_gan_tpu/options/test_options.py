@@ -4,6 +4,8 @@ from .base_options import BaseOptions
 
 
 class TestOptions(BaseOptions):
+    __test__ = False  # not a pytest class (silences a collection warning)
+
     def __init__(self):
         super().__init__()
         self.is_train = False
