@@ -59,9 +59,16 @@ def gan_loss(pred, target_is_real: bool, mode: str = "lsgan"):
     if mode == "lsgan":
         return _gmean(jnp.square(pred - target))
     if mode == "vanilla":
-        eps = 1e-12
+        # Select the live BCE branch statically: the two-term form
+        # t*log(p) + (1-t)*log(1-p) evaluates the dead term too, and a
+        # sigmoid saturated to exactly 0/1 in f32 makes it 0 * -inf = NaN.
+        # eps must also sit above the f32 ulp at 1.0 (1e-12 does not — the
+        # clip would round back to 1.0). torch's BCELoss survives the same
+        # saturation by clamping log to -100 (torch BCELoss docs).
+        eps = 1e-6
         p = jnp.clip(pred, eps, 1.0 - eps)
-        return _gmean(-(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p)))
+        nll = -jnp.log(p) if target_is_real else -jnp.log1p(-p)
+        return _gmean(nll)
     raise ValueError(f"unknown gan loss mode {mode!r}")
 
 
