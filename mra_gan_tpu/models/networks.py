@@ -55,6 +55,7 @@ from ..ops.s2d import (
     space_to_depth,
 )
 from ..ops.subpixel import (
+    conv_transpose3d_blocked,
     conv_transpose3d_subpixel,
     conv_transpose3d_subpixel_cells,
     conv_transpose3d_subpixel_f4,
@@ -133,9 +134,21 @@ class Conv3D(nn.Module):
                 half = (k[0] - 1) // 2
                 y = conv3d(replication_pad3d(xc, half), kc, self.stride, 0)
             else:
-                p = int(self.padding)
-                xe = extend_sharded_d(xc, p, p, "zero")
-                y = conv3d(xe, kc, self.stride, [(0, 0), (p, p), (p, p)])
+                if isinstance(self.padding, int):
+                    pd = ph = pw = self.padding
+                else:
+                    # per-axis padding (MONAI-style [(p,p), ...] pairs or
+                    # flat per-axis ints); depth must be symmetric (the halo
+                    # exchange sends equal slabs both ways)
+                    pp = [tuple(int(v) for v in q)
+                          if isinstance(q, (tuple, list)) else (int(q), int(q))
+                          for q in self.padding]
+                    assert all(a == b for a, b in pp), (
+                        "depth-sharded Conv3D needs symmetric padding")
+                    pd, ph, pw = pp[0][0], pp[1][0], pp[2][0]
+                xe = extend_sharded_d(xc, pd, pd, "zero")
+                y = conv3d(xe, kc, self.stride,
+                           [(0, 0), (ph, ph), (pw, pw)])
             if self.use_bias:
                 y = y + _bias_param(self, self.features).astype(self.dtype)
             return y
@@ -254,14 +267,27 @@ class ConvTranspose3D(nn.Module):
         # 3.4x fewer FLOPs and MXU-friendly shapes vs the input-dilated conv.
         subpixel_ok = (s == (2, 2, 2) and len(set(p)) == 1 and len(set(op)) == 1
                        and k[0] + op[0] - 2 * p[0] == 2)
+        # kernel==stride, no padding (MONAI DynUNet's upsampler, incl. mixed
+        # per-axis strides like (2,2,1)): disjoint output blocks — a 1^3 conv
+        # + local interleave (ops/subpixel.conv_transpose3d_blocked), exact
+        # and shard-local along a sharded depth axis (no halo needed).
+        blocked_ok = (k == s and p == (0, 0, 0) and op == (0, 0, 0))
         if spatial_shard_info() is not None:
-            # depth-sharded: subpixel conv with depth halos, local interleave
-            assert subpixel_ok and not (self.cells_in or self.cells_out)
-            wp, pad_lo, ku = remap_weight_subpixel(kc, p[0])
-            pad_hi = ku - 1 - pad_lo
-            xe = extend_sharded_d(xc, pad_lo, pad_hi, "zero")
-            y = conv3d(xe, wp, 1, [(0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi)])
-            y = depth_to_space(y, 2)
+            assert not (self.cells_in or self.cells_out)
+            if blocked_ok:
+                y = conv_transpose3d_blocked(xc, kc)
+            else:
+                # depth-sharded: subpixel conv with depth halos, local
+                # interleave
+                assert subpixel_ok, (
+                    "depth-sharded ConvTranspose3D supports stride-2 "
+                    "(subpixel) or kernel==stride (blocked) forms only")
+                wp, pad_lo, ku = remap_weight_subpixel(kc, p[0])
+                pad_hi = ku - 1 - pad_lo
+                xe = extend_sharded_d(xc, pad_lo, pad_hi, "zero")
+                y = conv3d(xe, wp, 1,
+                           [(0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi)])
+                y = depth_to_space(y, 2)
             if self.use_bias:
                 y = y + _bias_param(self, self.features).astype(self.dtype)
             return y
@@ -277,6 +303,10 @@ class ConvTranspose3D(nn.Module):
             y = conv_transpose3d_subpixel(xc, kc, p[0], op[0],
                                           d2s=(self.cells_out == 0))
             tile = 8 if self.cells_out else 1
+        elif blocked_ok and not self.cells_out:
+            # kernel==stride (incl. per-axis (2,2,1)): no input dilation
+            y = conv_transpose3d_blocked(xc, kc)
+            tile = 1
         else:
             assert not self.cells_out, "cells_out needs the subpixel path"
             y = conv_transpose3d(xc, kc, self.stride, self.padding, self.output_padding)
@@ -565,6 +595,27 @@ def dynunet_schedule(
     return kernels, strides
 
 
+def spatial_granularity(net) -> Tuple[int, int, int]:
+    """Per-axis spatial divisibility a generator's stride schedule needs for
+    a whole-volume (non-patched) forward: resnet 4 (two stride-2 halvings;
+    the cell-domain paths also want %4), U-Net 2^num_downs, DynUNet the
+    per-axis product of its auto-schedule strides (mixed (2,2,1) levels give
+    per-axis values). Callers pad volumes up to these multiples
+    (parallel/spatial.single_pass_apply, test.py --spatial_shard)."""
+    name = type(net).__name__
+    if name == "UnetGenerator3D":
+        g = 2 ** int(net.num_downs)
+        return (g, g, g)
+    if name == "DynUNet3D":
+        _, strides = dynunet_schedule(net.sizes, net.spacings)
+        out = [1, 1, 1]
+        for s in strides:
+            for a in range(3):
+                out[a] *= int(s[a])
+        return (out[0], out[1], out[2])
+    return (4, 4, 4)
+
+
 def _monai_pad(kernel, stride) -> list:
     """MONAI's get_padding: int((k - s + 1) / 2) per axis, symmetric —
     (1,1) for k=3 at stride 1 or 2, (0,0) for k=1."""
@@ -724,6 +775,25 @@ class NLayerDiscriminator3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # A too-small input makes the 1-channel head's output EMPTY along
+        # some axis (e.g. 16 deep at n_layers=3: 16->8->4->2, then two
+        # k4/s1/p1 convs -> 0), and a mean over an empty prediction is NaN —
+        # every GAN loss silently goes NaN while cycle losses stay finite.
+        # torch fails the same config loudly ("Output size is too small",
+        # reference models/networks3D.py:381-425); match that with an
+        # actionable error.
+        true_sp = [int(s) * (4 if self.cells_io else 1) for s in x.shape[1:4]]
+        dims = list(true_sp)
+        for _ in range(self.n_layers):
+            dims = [(d - 2) // 2 + 1 for d in dims]
+        dims = [d - 2 for d in dims]  # two stride-1 4^3 convs, 1 voxel each
+        if any(d < 1 for d in dims):
+            raise ValueError(
+                f"NLayerDiscriminator3D with n_layers={self.n_layers} needs "
+                f"every spatial dim >= {3 * 2 ** self.n_layers}, got "
+                f"{tuple(true_sp)}: the PatchGAN head would output an empty "
+                f"map (and the GAN losses NaN). Use a larger patch_size or "
+                f"fewer discriminator layers.")
         ki = get_initializer(self.init_type, self.init_gain)
         bias = _use_bias(self.norm)
         dead = self.norm == "instance"  # see Conv3D.dead_bias

@@ -170,6 +170,34 @@ def conv_transpose3d_subpixel_f4(x: jax.Array, w: jax.Array,
     return out
 
 
+def conv_transpose3d_blocked(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Exact torch ConvTranspose3d for the kernel==stride, padding=0,
+    output_padding=0 case (MONAI DynUNet's UnetUpBlock upsampler,
+    reference models/networks3D.py:365-375 via monai UnetUpBlock), with
+    PER-AXIS strides — e.g. the (2,2,1) levels of the auto-schedule.
+
+    With k==s and p==0 the output blocks are disjoint:
+    ``out[d*sd+i, h*sh+j, w*sw+l, co] = sum_ci x[d,h,w,ci] * K[i,j,l,ci,co]``
+    — a 1x1x1 conv to (sd*sh*sw*co) lanes followed by a local per-axis
+    interleave. No input dilation, no halo: every output voxel depends on
+    exactly one input voxel, so the op is shard-local along a sharded depth
+    axis (parallel/spatial.py) and MXU-friendly everywhere.
+
+    x: (N,D,H,W,ci); w: (sd,sh,sw,ci,co) -> (N, D*sd, H*sh, W*sw, co).
+    """
+    sd, sh, sw, ci, co = w.shape
+    # (sd,sh,sw,ci,co) -> (1,1,1, ci, sd*sh*sw*co), lane = ((i*sh+j)*sw+l)*co+c
+    wp = w.transpose(3, 0, 1, 2, 4).reshape(1, 1, 1, ci, sd * sh * sw * co)
+    y = jax.lax.conv_general_dilated(
+        x, wp, (1, 1, 1), [(0, 0)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)
+    n, d, h, wd, _ = y.shape
+    y = y.reshape(n, d, h, wd, sd, sh, sw, co)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return y.reshape(n, d * sd, h * sh, wd * sw, co)
+
+
 def conv_transpose3d_subpixel(x: jax.Array, w: jax.Array, padding: int = 1,
                               output_padding: int = 1,
                               d2s: bool = True) -> jax.Array:

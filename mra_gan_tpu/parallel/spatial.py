@@ -133,12 +133,16 @@ _SINGLE_PASS_JIT: dict = {}
 
 def single_pass_apply(net, params, volume: np.ndarray) -> np.ndarray:
     """Whole-volume generator forward on ONE chip: pad each dim to the
-    stride granularity (4) with edge values, forward, crop back — no
+    net's stride granularity (networks.spatial_granularity — 4 for resnet,
+    2^num_downs for U-Net, the schedule product for Dynet) with edge
+    values, forward, crop back — no
     patching, no seams, instance-norm statistics over the full volume. The
     single-device counterpart of ``sharded_generator_apply``; needs the
     activation stack to fit HBM."""
+    from ..models.networks import spatial_granularity
+
     shp = volume.shape
-    pads = [(-s) % 4 for s in shp]
+    pads = [(-s) % g for s, g in zip(shp, spatial_granularity(net))]
     volp = np.pad(np.asarray(volume, np.float32),
                   [(0, p) for p in pads], mode="edge")
     x = jnp.asarray(volp, _upload_dtype(net))[None, ..., None]
@@ -164,15 +168,23 @@ def sharded_generator_apply(
     instance norm pmeans its statistics across the shard axis
     (core/spatial_ctx.py + ops/conv.extend_sharded_d + ops/norm), so the
     result is bit-equivalent to the unsharded forward. volume: (D, H, W)
-    float in the generator's input range; D must be divisible by 4*n_devices
-    with shard depth >= 4 (two stride-2 halvings + the 7^3 stem halo)."""
+    float in the generator's input range; per-shard depth must be divisible
+    by the net's depth-stride granularity (networks.spatial_granularity) —
+    and >= 4 for resnet (the 7^3 stem's halo) — with H/W divisible by the
+    in-plane granularity."""
     from ..core.spatial_ctx import spatial_sharding
+    from ..models.networks import spatial_granularity
 
-    _reject_dynet_sharding(net)
     n = mesh.shape[axis_name]
     d = volume.shape[0]
-    assert d % (4 * n) == 0 and d // n >= 4, (
-        f"depth {d} must be divisible by 4*{n} with shard depth >= 4")
+    g = spatial_granularity(net)
+    min_shard = 4 if type(net).__name__ == "ResnetGenerator3D" else g[0]
+    assert d % n == 0 and (d // n) % g[0] == 0 and d // n >= min_shard, (
+        f"depth {d} over {n} devices needs shard depth divisible by {g[0]} "
+        f"and >= {min_shard}")
+    assert volume.shape[1] % g[1] == 0 and volume.shape[2] % g[2] == 0, (
+        f"in-plane dims {volume.shape[1:]} must be divisible by {g[1:]} "
+        f"(pad with edge values first)")
     from jax.sharding import NamedSharding
 
     x = jnp.asarray(volume, _upload_dtype(net))[None, ..., None]
@@ -227,22 +239,6 @@ def shard_spatial_state(state, mesh: Mesh, axis_name: str, cfg=None):
         step=jax.device_put(state.step, rep))
 
 
-def _reject_dynet_sharding(net_or_name):
-    """Dynet has no depth-sharded form: its mixed [2,2,1] strides and
-    kernel=stride transposed convs do not fit the halo-exchange machinery.
-    Raise the explanatory error at the mechanism level so every caller
-    (train.py --spatial_parallel, test.py --spatial_shard, library users)
-    gets it instead of an obscure shape/type failure."""
-    name = getattr(net_or_name, "__class__", type(None)).__name__         if not isinstance(net_or_name, str) else net_or_name
-    if name in ("Dynet", "DynUNet3D"):
-        raise ValueError(
-            "spatial (depth-sharded) execution does not support the Dynet "
-            "generator: its mixed [2,2,1] strides and kernel=stride "
-            "transposed convs have no halo-exchange form. Use data "
-            "parallelism or the single-chip step (resnet_*/unet_* shard "
-            "fine).")
-
-
 def make_spatial_train_step(cfg, mesh: Mesh, axis_name: str = "space",
                             data_axis: str = None):
     """Full CycleGAN train step with every volume DEPTH-SHARDED across
@@ -266,15 +262,16 @@ def make_spatial_train_step(cfg, mesh: Mesh, axis_name: str = "space",
     per-device fakes so every device applies the reference's exact
     sequential pool update to its replicated buffers).
 
-    Constraints: patch depth divisible by 4*n with shard depth >= 4 (two
-    stride-2 halvings + the 7^3 stem halo); batch divisible by the data-axis
-    size; no dropout (identical per-shard keys would repeat masks along
-    depth).
+    Constraints: per-shard patch depth divisible by the generator's
+    depth-stride granularity (networks.spatial_granularity: 4 for resnet —
+    plus shard depth >= 4 for its 7^3 stem halo — 2^num_downs for U-Net,
+    the schedule's depth-stride product for Dynet); batch divisible by the
+    data-axis size; no dropout (identical per-shard keys would repeat masks
+    along depth).
 
     Returns (step_fn, input_sharding); states go through
     ``shard_spatial_state`` first.
     """
-    _reject_dynet_sharding(cfg.net_g)
     from jax.sharding import NamedSharding
 
     from ..core.spatial_ctx import spatial_sharding
@@ -282,6 +279,10 @@ def make_spatial_train_step(cfg, mesh: Mesh, axis_name: str = "space",
 
     n = mesh.shape[axis_name]
     assert cfg.no_dropout, "spatial train step requires no_dropout"
+    from ..models.networks import spatial_granularity
+
+    g = spatial_granularity(cfg.build_nets()[0])
+    min_shard = 4 if str(cfg.net_g).startswith("resnet") else g[0]
     base = make_train_step(cfg)
 
     from ..models.cycle_gan import CycleGANState, PoolState
@@ -307,10 +308,15 @@ def make_spatial_train_step(cfg, mesh: Mesh, axis_name: str = "space",
 
     def step(state, real_a, real_b, rng, lr):
         d = real_a.shape[1]
-        if d % (4 * n) or d // n < 4:
+        if d % n or (d // n) % g[0] or d // n < min_shard:
             raise ValueError(
-                f"spatial step over {n} devices needs patch depth divisible "
-                f"by {4 * n} with shard depth >= 4, got {d}")
+                f"spatial step over {n} devices needs patch depth with "
+                f"shard depth (D/{n}) divisible by {g[0]} and >= "
+                f"{min_shard}, got D={d}")
+        if real_a.shape[2] % g[1] or real_a.shape[3] % g[2]:
+            raise ValueError(
+                f"patch in-plane dims {real_a.shape[2:4]} must be divisible "
+                f"by {g[1:]} for {cfg.net_g}")
         if real_a.shape[0] % nd:
             raise ValueError(
                 f"batch {real_a.shape[0]} not divisible by the data-axis "

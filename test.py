@@ -104,10 +104,13 @@ def inference(opt, loaded=None):
         from mra_gan_tpu.core.mesh import make_mesh
         from mra_gan_tpu.parallel.spatial import sharded_generator_apply
 
+        from mra_gan_tpu.models.networks import spatial_granularity
+
         mesh = make_mesh()
         n = mesh.shape["data"]
         shp = vol.shape
-        mult = (4 * n, 4, 4)
+        g = spatial_granularity(net)
+        mult = (g[0] * n, g[1], g[2])
         pads = [(-len_ % m) for len_, m in zip(shp, mult)]
         volp = np.pad(vol, [(0, p) for p in pads], mode="edge")
         out = sharded_generator_apply(mesh, net, params, volp)

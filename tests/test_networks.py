@@ -156,3 +156,36 @@ def test_unet_too_deep_raises_clear_error():
     x = jnp.zeros((1, 64, 64, 64, 1), jnp.float32)
     with pytest.raises(ValueError, match="num_downs=8"):
         net.init(jax.random.PRNGKey(0), x, train=False)
+
+
+def test_single_pass_pads_to_net_granularity():
+    """single_pass_apply pads to the NET's stride granularity
+    (networks.spatial_granularity), not a fixed 4 — a Dynet whose schedule
+    needs (8,8,4) must accept a non-divisible volume and equal the manual
+    edge-pad + forward + crop."""
+    from mra_gan_tpu.models.networks import DynUNet3D, spatial_granularity
+    from mra_gan_tpu.parallel.spatial import single_pass_apply
+
+    net = DynUNet3D(output_nc=1, sizes=(32, 32, 16), spacings=(1.5, 1.5, 1.5))
+    assert spatial_granularity(net) == (8, 8, 4)
+    vol = np.random.RandomState(0).rand(27, 30, 14).astype(np.float32) * 2 - 1
+    volp = np.pad(vol, [(0, 5), (0, 2), (0, 2)], mode="edge")
+    x = jnp.asarray(volp)[None, ..., None]
+    params = net.init(jax.random.PRNGKey(0), x, train=False)
+    want = np.asarray(net.apply(params, x, train=False))[0, :27, :30, :14, 0]
+    got = single_pass_apply(net, params, vol)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_patchgan_too_small_input_raises():
+    """A PatchGAN whose head would output an EMPTY map (e.g. 16 voxels deep
+    at n_layers=3) must fail loudly like torch does — silently it made every
+    GAN loss NaN (mean over an empty prediction) while cycle losses stayed
+    finite."""
+    from mra_gan_tpu.models.networks import NLayerDiscriminator3D
+
+    d = NLayerDiscriminator3D(ndf=4, n_layers=3)
+    with pytest.raises(ValueError, match="spatial dim >= 24"):
+        d.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 16, 1)), train=False)
+    # >= the minimum is fine
+    d.init(jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 24, 1)), train=False)

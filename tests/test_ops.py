@@ -57,6 +57,20 @@ def test_conv_transpose3d_matches_torch(k, s, p, op):
     np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
 
 
+@pytest.mark.parametrize("s", [(2, 2, 2), (2, 2, 1), (3, 1, 2)])
+def test_conv_transpose3d_blocked_matches_torch(s):
+    """kernel==stride, p=0 transposed conv (MONAI DynUNet's upsampler, incl.
+    mixed per-axis strides) via the blocked 1^3-conv+interleave form."""
+    from mra_gan_tpu.ops.subpixel import conv_transpose3d_blocked
+
+    x = _rand(2, 4, 3, 5, 6)
+    w = _rand(*s, 6, 7)
+    got = np.asarray(conv_transpose3d_blocked(jnp.asarray(x), jnp.asarray(w)))
+    wt = torch.tensor(np.transpose(w, (3, 4, 0, 1, 2)))  # (in,out,kd,kh,kw)
+    want = _from_t(F.conv_transpose3d(_to_ncdhw(x), wt, stride=s, padding=0))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
 def test_replication_pad_matches_torch():
     x = _rand(1, 4, 5, 6, 2)
     got = np.asarray(replication_pad3d(jnp.asarray(x), 3))
@@ -100,3 +114,24 @@ def test_l1_and_cor_coe():
     want = float(1 - r ** 2)
     np.testing.assert_allclose(float(cor_coe_loss(jnp.asarray(a), jnp.asarray(b))),
                                want, rtol=1e-4, atol=1e-5)
+
+
+def test_gan_loss_vanilla_saturated_sigmoid_finite():
+    """A sigmoid D saturated to exactly 0.0/1.0 (f32 sigmoid saturates for
+    |logit| >~ 17, routine for an untrained unnormalized final conv) must
+    yield finite BCE both ways — the two-term form produced 0 * -inf = NaN
+    and took the DEFAULT CLI mode (vanilla, --no_lsgan store_false) to NaN
+    GAN losses on the first step."""
+    from mra_gan_tpu.ops import gan_loss
+
+    for p in (0.0, 1.0, 1e-30, 1.0 - 1e-30):
+        pred = jnp.full((2, 3, 3, 3, 1), p, jnp.float32)
+        for target in (True, False):
+            v = float(gan_loss(pred, target, "vanilla"))
+            assert np.isfinite(v), (p, target, v)
+    # interior values unchanged vs the textbook BCE
+    pred = jnp.asarray([[0.3, 0.9]], jnp.float32)
+    want_true = float(np.mean(-np.log([0.3, 0.9])))
+    want_false = float(np.mean(-np.log1p([-0.3, -0.9])))
+    np.testing.assert_allclose(float(gan_loss(pred, True, "vanilla")), want_true, rtol=1e-6)
+    np.testing.assert_allclose(float(gan_loss(pred, False, "vanilla")), want_false, rtol=1e-6)

@@ -62,16 +62,6 @@ def main(argv=None):
     enable_compilation_cache()
     cfg = config_from_opt(opt)
     patch = tuple(int(p) for p in opt.patch_size)
-    if getattr(opt, "spatial_parallel", False) and opt.netG == "Dynet":
-        # fail BEFORE dataset construction / network init / the minutes-long
-        # TPU claim (make_spatial_train_step raises the same error at the
-        # mechanism level for library users)
-        raise SystemExit(
-            "--spatial_parallel does not support --netG Dynet: its mixed "
-            "[2,2,1] strides and kernel=stride transposed convs have no "
-            "depth-sharded halo form. Use --data_parallel, or the "
-            "single-chip step (resnet_*/unet_* shard fine).")
-
     dataset = UnpairedVolumeDataset(
         opt.data_path,
         patch_size=patch,
