@@ -310,6 +310,27 @@ def crop_foreground(
     return out_img, out_lbl, sl
 
 
+class _CountedMask:
+    """Uniform sampling of true-voxel coordinates from a 3-D bool mask
+    without materializing the full index list (np.argwhere of a dense
+    128^3 mask is a ~50 MB build per call; this is one counting pass plus
+    a per-draw slab-local argwhere). nth_true(r) returns the r-th true
+    voxel in C order — identical to argwhere(mask)[r]."""
+
+    def __init__(self, mask: np.ndarray):
+        self.mask = mask
+        self.slab_cum = np.cumsum(
+            np.count_nonzero(mask.reshape(mask.shape[0], -1), axis=1))
+        self.count = int(self.slab_cum[-1]) if len(self.slab_cum) else 0
+
+    def nth_true(self, r: int) -> Tuple[int, int, int]:
+        z = int(np.searchsorted(self.slab_cum, r, side="right"))
+        prev = int(self.slab_cum[z - 1]) if z else 0
+        within = np.argwhere(self.mask[z])
+        yx = within[r - prev]
+        return (z, int(yx[0]), int(yx[1]))
+
+
 def rand_crop_starts_by_pos_neg(
     image: np.ndarray,
     label: np.ndarray,
@@ -327,20 +348,31 @@ def rand_crop_starts_by_pos_neg(
     image = pad_to_size(image, patch)
     label = pad_to_size(label, patch)
     shape = image.shape[:3]
-    pos_idx = np.argwhere(label[..., 0] > 0 if label.ndim > 3 else label > 0)
-    neg_mask = (image[..., 0] if image.ndim > 3 else image) > image_threshold
-    neg_idx = np.argwhere(neg_mask)
+    # Counted lazy sampling instead of materializing argwhere index arrays:
+    # a full-volume foreground list is ~50 MB and was ~85% of the cold
+    # loader's time, and with the default pos=20/neg=0 the negative class is
+    # only ever consulted when the label has no positive voxel at all. Draw
+    # sequence is unchanged: same rng calls, and _CountedMask selects the
+    # r-th true voxel in the same C order argwhere used.
+    pos_cls = _CountedMask(label[..., 0] > 0 if label.ndim > 3 else label > 0)
+    neg_cls: Optional[_CountedMask] = None
     p_pos = pos / (pos + neg) if (pos + neg) > 0 else 1.0
     starts = np.empty((num_samples, 3), np.int64)
     half_lo = [p // 2 for p in patch]
     for i in range(num_samples):
         take_pos = rng.random() < p_pos
-        src = pos_idx if (take_pos and len(pos_idx)) else neg_idx
-        if len(src) == 0:
+        src = pos_cls
+        if not (take_pos and pos_cls.count):
+            if neg_cls is None:
+                neg_cls = _CountedMask(
+                    (image[..., 0] if image.ndim > 3 else image)
+                    > image_threshold)
+            src = neg_cls
+        if src.count == 0:
             center = [rng.integers(half_lo[a], shape[a] - (patch[a] - half_lo[a]) + 1)
                       for a in range(3)]
         else:
-            center = src[rng.integers(len(src))][:3]
+            center = src.nth_true(int(rng.integers(src.count)))
         starts[i] = [int(np.clip(center[a] - half_lo[a], 0, shape[a] - patch[a]))
                      for a in range(3)]
     return image, label, starts
