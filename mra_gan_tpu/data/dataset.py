@@ -161,11 +161,15 @@ class UnpairedVolumeDataset:
         image = np.ascontiguousarray(image, np.float32)
         label = np.ascontiguousarray(label, np.float32)
         if self.cache_dir:
-            # atomic write (tmp + rename): concurrent workers may race on
-            # the same pair, and a reader must never see a torn file
+            # atomic write (tmp + rename): concurrent writers may race on
+            # the same pair, and a reader must never see a torn file. The
+            # tmp name needs the THREAD id too — PatchLoader workers are
+            # threads sharing one pid, so pid alone would make two in-process
+            # writers interleave into the same tmp file.
             ck = self._cache_key(img_path, lbl_path)
             for arr, suffix in ((image, ".image.npy"), (label, ".label.npy")):
-                tmp = ck.with_suffix(suffix + f".tmp{os.getpid()}")
+                tmp = ck.with_suffix(
+                    suffix + f".tmp{os.getpid()}.{threading.get_ident()}")
                 with open(tmp, "wb") as f:  # np.save(path) would append .npy
                     np.save(f, arr)
                 os.replace(tmp, ck.with_suffix(suffix))

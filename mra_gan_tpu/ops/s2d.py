@@ -299,6 +299,8 @@ def _head_s2_fwd(xp, w):
 
 
 def _head_s2_bwd(res, gy):
+    from ..core.spatial_ctx import dp_batch_divisor
+
     xp, w = res
     k = w.shape[0]
     ci, co = w.shape[3], w.shape[4]
@@ -312,10 +314,14 @@ def _head_s2_bwd(res, gy):
     half = (k - 1) // 2
     pad4 = 4 * int(np.ceil(half / 4))
     _, _, _, pc = _head_stride2_map(k)
-    if 2 * pc != pad4 or any(s % 2 for s in xp.shape[1:4]) or xp.shape[0] > 4:
+    if (2 * pc != pad4 or any(s % 2 for s in xp.shape[1:4])
+            or xp.shape[0] // dp_batch_divisor() > 4):
         # f2 and f4 padded grids only coincide for k=7 (pad 4 true either
         # way); elsewhere fall back to XLA's native dx of the stride-2 form.
-        # Also at batch > 4: the f4 conv's f4->f2 regroup is a lane relayout
+        # Also at PER-DEVICE batch > 4 (the traced batch divided by the
+        # data-parallel axis size, like the space_to_depth gate above —
+        # under pjit-DP each device sees batch/ndev):
+        # the f4 conv's f4->f2 regroup is a lane relayout
         # whose cost scales superlinearly with batch (batch-16 reshapes ran
         # 6.4 ms EACH on v5e — 25 ms/step across the applies; the native dx
         # lowered fine there: 273 -> 233 ms/step at batch 8), while at

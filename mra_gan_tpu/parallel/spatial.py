@@ -124,11 +124,31 @@ def _upload_dtype(net):
             else jnp.float32)
 
 
-# One jitted apply per generator object: jax.jit caches compiled
-# executables on FUNCTION identity + shapes, so building a fresh lambda per
-# call (as directory batch mode would) re-traces every volume. The entry
-# keeps the net alive so its id can't be recycled.
+# One jitted apply per generator: jax.jit caches compiled executables on
+# FUNCTION identity + shapes, so building a fresh lambda per call (as
+# directory batch mode would) re-traces every volume. Keyed on the module
+# itself when hashable (equal configs share one executable); unhashable
+# modules fall back to id(net) with the net kept alive in the value so its
+# id can't be recycled. Insertion-order LRU capped so long-lived processes
+# that build fresh modules per call (test suites, serving loops reloading
+# checkpoints) don't pin every net + executable forever.
 _SINGLE_PASS_JIT: dict = {}
+_SINGLE_PASS_CAP = 8
+
+
+def _single_pass_fn(net):
+    try:
+        hash(net)
+        key = ("net", net)
+    except TypeError:
+        key = ("id", id(net))
+    hit = _SINGLE_PASS_JIT.pop(key, None)  # pop+reinsert = move to MRU
+    if hit is None:
+        hit = (net, jax.jit(lambda p, xx: net.apply(p, xx, train=False)))
+    _SINGLE_PASS_JIT[key] = hit
+    while len(_SINGLE_PASS_JIT) > _SINGLE_PASS_CAP:
+        _SINGLE_PASS_JIT.pop(next(iter(_SINGLE_PASS_JIT)))
+    return hit[1]
 
 
 def single_pass_apply(net, params, volume: np.ndarray) -> np.ndarray:
@@ -146,11 +166,23 @@ def single_pass_apply(net, params, volume: np.ndarray) -> np.ndarray:
     volp = np.pad(np.asarray(volume, np.float32),
                   [(0, p) for p in pads], mode="edge")
     x = jnp.asarray(volp, _upload_dtype(net))[None, ..., None]
-    if id(net) not in _SINGLE_PASS_JIT:
-        _SINGLE_PASS_JIT[id(net)] = (
-            net, jax.jit(lambda p, xx: net.apply(p, xx, train=False)))
-    out = _SINGLE_PASS_JIT[id(net)][1](params, x)
+    out = _single_pass_fn(net)(params, x)
     return np.asarray(out, np.float32)[0, ..., 0][:shp[0], :shp[1], :shp[2]]
+
+
+def spatial_depth_rule(net):
+    """(per-axis granularity, minimum shard depth) a depth-sharded forward
+    of ``net`` needs: shard depth D/n_space must divide by g[0] and be >=
+    min_shard (4 for resnet — its 7^3 stem halo reaches 3 voxels across the
+    shard boundary). The single divisibility rule shared by the CLI
+    pre-check (train.py), ``sharded_generator_apply`` and
+    ``make_spatial_train_step`` — per-net via networks.spatial_granularity,
+    NOT the resnet-only %4."""
+    from ..models.networks import spatial_granularity
+
+    g = spatial_granularity(net)
+    min_shard = 4 if type(net).__name__ == "ResnetGenerator3D" else g[0]
+    return g, min_shard
 
 
 def sharded_generator_apply(
@@ -173,12 +205,10 @@ def sharded_generator_apply(
     and >= 4 for resnet (the 7^3 stem's halo) — with H/W divisible by the
     in-plane granularity."""
     from ..core.spatial_ctx import spatial_sharding
-    from ..models.networks import spatial_granularity
 
     n = mesh.shape[axis_name]
     d = volume.shape[0]
-    g = spatial_granularity(net)
-    min_shard = 4 if type(net).__name__ == "ResnetGenerator3D" else g[0]
+    g, min_shard = spatial_depth_rule(net)
     assert d % n == 0 and (d // n) % g[0] == 0 and d // n >= min_shard, (
         f"depth {d} over {n} devices needs shard depth divisible by {g[0]} "
         f"and >= {min_shard}")
@@ -279,10 +309,7 @@ def make_spatial_train_step(cfg, mesh: Mesh, axis_name: str = "space",
 
     n = mesh.shape[axis_name]
     assert cfg.no_dropout, "spatial train step requires no_dropout"
-    from ..models.networks import spatial_granularity
-
-    g = spatial_granularity(cfg.build_nets()[0])
-    min_shard = 4 if str(cfg.net_g).startswith("resnet") else g[0]
+    g, min_shard = spatial_depth_rule(cfg.build_nets()[0])
     base = make_train_step(cfg)
 
     from ..models.cycle_gan import CycleGANState, PoolState

@@ -227,3 +227,51 @@ def test_head_stride2_cells_exact_and_grads():
             np.testing.assert_allclose(np.asarray(b) / scale,
                                        np.asarray(a) / scale,
                                        rtol=0, atol=2e-4)
+
+
+def test_batch_gates_key_on_per_device_batch():
+    """The batch-gated variants (per-axis s2d/d2s relayout decomposition and
+    the head-conv f4-domain dx) must key on the PER-DEVICE batch under
+    data-parallel pjit — the trace sees the GLOBAL batch, so the gates
+    divide by core.spatial_ctx.dp_batch_divisor. Asserts the traced program
+    actually flips with the hint and that both forms agree numerically."""
+    from mra_gan_tpu.core.spatial_ctx import dp_batch_sharded
+    from mra_gan_tpu.ops.s2d import conv3d_head_stride2_cells
+
+    x8 = jnp.asarray(np.random.RandomState(3)
+                     .randn(8, 8, 8, 8, 4).astype(np.float32))
+    # NB: fresh lambdas per trace — jax caches traces on function identity,
+    # so reusing one object would return the first trace regardless of the
+    # hint context.
+    for make_op in (lambda: (lambda x: space_to_depth(x, 2)),
+                    lambda: (lambda x: depth_to_space(space_to_depth(x, 2), 2))):
+        j_global = jax.make_jaxpr(make_op())(x8)
+        with dp_batch_sharded(8):
+            j_hint = jax.make_jaxpr(make_op())(x8)
+        assert str(j_hint) != str(j_global), "gate ignored the DP hint"
+        with dp_batch_sharded(8):
+            hinted = make_op()(x8)
+        np.testing.assert_array_equal(np.asarray(hinted),
+                                      np.asarray(make_op()(x8)))
+
+    # head-conv bwd: k=7, even dims, batch 8 -> native dx unhinted,
+    # f4-domain dx at per-device batch 1
+    w = jnp.asarray(np.random.RandomState(4)
+                    .randn(7, 7, 7, 4, 1).astype(np.float32) * 0.1)
+    xp = space_to_depth(x8, 2)
+
+    def make_grad():
+        loss = lambda x, w: jnp.sum(jnp.sin(conv3d_head_stride2_cells(x, w)))
+        return jax.grad(loss, (0, 1))
+
+    j_global = jax.make_jaxpr(make_grad())(xp, w)
+    with dp_batch_sharded(8):
+        j_hint = jax.make_jaxpr(make_grad())(xp, w)
+    assert str(j_hint) != str(j_global), "head-dx gate ignored the DP hint"
+    g_ref = make_grad()(xp, w)
+    with dp_batch_sharded(8):
+        g_hint = make_grad()(xp, w)
+    for a, b in zip(g_ref, g_hint):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, rtol=0, atol=2e-4)

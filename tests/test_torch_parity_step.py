@@ -42,8 +42,13 @@ PATCH = (16, 16, 16)
 
 
 def _stub_monai():
+    """Install a minimal monai stand-in so the reference package imports.
+    Returns the module names WE inserted (empty when real monai is present)
+    so the fixture can remove them afterwards — leaking the stub into
+    sys.modules would make test_dynet_parity's real-MONAI cross-check
+    silently skip when the suite runs in one process with monai installed."""
     if "monai" in sys.modules:
-        return
+        return ()
     monai = types.ModuleType("monai")
     networks = types.ModuleType("monai.networks")
     nets = types.ModuleType("monai.networks.nets")
@@ -57,6 +62,7 @@ def _stub_monai():
     sys.modules["monai"] = monai
     sys.modules["monai.networks"] = networks
     sys.modules["monai.networks.nets"] = nets
+    return ("monai", "monai.networks", "monai.networks.nets")
 
 
 @pytest.fixture(scope="module")
@@ -64,7 +70,7 @@ def ref_cycle_gan():
     """The reference's models package, imported for real (base_model does
     ``from models import networks3D``, so it must be importable as the
     top-level package ``models``)."""
-    _stub_monai()
+    stubbed = _stub_monai()
     if "models" not in sys.modules:
         spec = importlib.util.spec_from_file_location(
             "models", os.path.join(REF, "models", "__init__.py"),
@@ -72,7 +78,9 @@ def ref_cycle_gan():
         pkg = importlib.util.module_from_spec(spec)
         sys.modules["models"] = pkg
         spec.loader.exec_module(pkg)
-    return importlib.import_module("models.cycle_gan_model")
+    yield importlib.import_module("models.cycle_gan_model")
+    for name in stubbed:
+        sys.modules.pop(name, None)
 
 
 def _ref_opt(tmp_path, gan_mode: str) -> types.SimpleNamespace:

@@ -118,10 +118,19 @@ def main(argv=None):
             ns = ns or total
             devices = jax.devices()[:ns]
         nd = len(devices) // ns
-        if int(patch[0]) % (4 * ns):
+        from mra_gan_tpu.parallel.spatial import spatial_depth_rule
+
+        g, min_shard = spatial_depth_rule(cfg.build_nets()[0])
+        d0 = int(patch[0])
+        if d0 % ns or (d0 // ns) % g[0] or d0 // ns < min_shard:
             raise SystemExit(
-                f"--spatial_parallel requires patch depth ({patch[0]}) "
-                f"divisible by 4*spatial devices ({4 * ns})")
+                f"--spatial_parallel over {ns} devices requires a per-device "
+                f"patch depth (D/{ns} of D={d0}) divisible by {g[0]} and >= "
+                f"{min_shard} for net_g={cfg.net_g}")
+        if int(patch[1]) % g[1] or int(patch[2]) % g[2]:
+            raise SystemExit(
+                f"--spatial_parallel requires in-plane patch dims "
+                f"{tuple(patch[1:])} divisible by {g[1:]} for net_g={cfg.net_g}")
         if both and opt.batch_size % nd:
             raise SystemExit(
                 f"batch_size ({opt.batch_size}) must be divisible by the "
@@ -181,6 +190,7 @@ def main(argv=None):
         # (reference models/base_model.py:66-67), which raises TypeError
         # for ReduceLROnPlateau — this epoch-mean metric is the recorded fix.
         msum, msteps = 0.0, 0
+        sampled_step = -1  # total_steps value of the last print-time sample
         for image_b, label_b in loader.epoch(epoch):
             timer.data_ready()
             # AtoB: image -> real_A, label -> real_B (reference train.py:123
@@ -202,6 +212,7 @@ def main(argv=None):
                 metrics_host = {k: float(v) for k, v in metrics.items()}
                 msum += sum(metrics_host.values())
                 msteps += 1
+                sampled_step = total_steps
                 timer.step_done()
                 visualizer.print_current_losses(
                     epoch, epoch_iter, metrics_host,
@@ -215,8 +226,9 @@ def main(argv=None):
             print(f"profiler trace written to {opt.profile_dir}")
             profiling = False
         if epoch_iter:
-            msum += sum(float(v) for v in jax.device_get(metrics).values())
-            msteps += 1
+            if sampled_step != total_steps:  # final step not yet sampled
+                msum += sum(float(v) for v in jax.device_get(metrics).values())
+                msteps += 1
             last_metric = msum / msteps
         if epoch % opt.save_epoch_freq == 0:
             print(f"saving the model at the end of epoch {epoch}, iters {total_steps}")
