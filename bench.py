@@ -117,7 +117,10 @@ def _bench_loader():
                 n += img.shape[0]
             return n / (time.perf_counter() - t0)
 
-        cold = run(4, 0)       # populates the npz cache
+        cold = run(4, 0)       # populates the .npy cache (writes are async)
+        from mra_gan_tpu.data.dataset import flush_cache_writes
+
+        flush_cache_writes()   # steady-state warm: don't overlap the drain
         warm_w4 = run(4, 1)
         warm_w1 = run(1, 2)
         return {"cold_w4": round(cold, 1), "warm_w4": round(warm_w4, 1),

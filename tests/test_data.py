@@ -186,7 +186,10 @@ def test_dataset_and_loader(tmp_path):
     np.testing.assert_array_equal(patches[0][0], again[0][0])
     other_epoch = ds.sample_patches(0, epoch=1)
     assert not np.array_equal(patches[0][0], other_epoch[0][0])
-    # cache hit path
+    # cache hit path (writes are async — flush before checking disk)
+    from mra_gan_tpu.data.dataset import flush_cache_writes
+
+    flush_cache_writes()
     assert len(list((tmp_path / "cache").glob("*.image.npy"))) > 0
 
     loader = PatchLoader(ds, batch_size=2, workers=1)
