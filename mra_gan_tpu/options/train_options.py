@@ -55,4 +55,11 @@ class TrainOptions(BaseOptions):
                                  "segment-boundary policy): ~20-25%% less "
                                  "peak memory for ~30%% more step time — "
                                  "for patches that otherwise exceed HBM")
+        parser.add_argument("--no_mem_check", action="store_true",
+                            help="skip the compile-only device-memory "
+                                 "preflight of the train step (core/memory.py)")
+        parser.add_argument("--hbm_limit_gib", type=float, default=0.0,
+                            help="per-device memory budget in GiB for the "
+                                 "preflight check (0 = use the runtime's "
+                                 "reported limit when available)")
         return parser

@@ -350,6 +350,11 @@ def make_spatial_train_step(cfg, mesh: Mesh, axis_name: str = "space",
                 f"size {nd}")
         return jitted(state, real_a, real_b, rng, jnp.float32(lr))
 
+    # expose AOT lowering so core.memory.preflight can compile-check the
+    # footprint through the validating wrapper (lr must match the jnp
+    # cast the wrapper applies, so wrap it the same way)
+    step.lower = lambda state, a, b, rng, lr: jitted.lower(
+        state, a, b, rng, jnp.float32(lr))
     return step, NamedSharding(mesh, vol_spec)
 
 

@@ -12,6 +12,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mra_gan_tpu.checkpoint import CheckpointManager
 from mra_gan_tpu.core import get_policy
@@ -155,6 +156,17 @@ def main(argv=None):
     else:
         step = jax.jit(make_train_step(cfg), donate_argnums=0)
         put = jnp.asarray
+
+    if not getattr(opt, "no_mem_check", False):
+        # compile-only HBM preflight: a device OOM poisons the process on
+        # some runtimes, so ask the compiler first (the compile is reused
+        # by the first real step — free). core/memory.py.
+        from mra_gan_tpu.core.memory import preflight
+
+        ex = put(np.zeros((opt.batch_size, *patch, 1), np.float32))
+        lim = getattr(opt, "hbm_limit_gib", 0.0)
+        preflight(step, state, ex, ex, jax.random.PRNGKey(0), opt.lr,
+                  limit_bytes=int(lim * 2**30) if lim else None)
 
     ckpt = CheckpointManager(opt.checkpoints_dir, opt.name)
     if opt.continue_train and ckpt.has(opt.which_epoch):
