@@ -136,6 +136,9 @@ _SINGLE_PASS_JIT: dict = {}
 _SINGLE_PASS_CAP = 8
 
 
+_PREFLIGHTED: set = set()
+
+
 def _single_pass_fn(net):
     try:
         hash(net)
@@ -148,7 +151,7 @@ def _single_pass_fn(net):
     _SINGLE_PASS_JIT[key] = hit
     while len(_SINGLE_PASS_JIT) > _SINGLE_PASS_CAP:
         _SINGLE_PASS_JIT.pop(next(iter(_SINGLE_PASS_JIT)))
-    return hit[1]
+    return key, hit[1]
 
 
 def single_pass_apply(net, params, volume: np.ndarray) -> np.ndarray:
@@ -166,7 +169,20 @@ def single_pass_apply(net, params, volume: np.ndarray) -> np.ndarray:
     volp = np.pad(np.asarray(volume, np.float32),
                   [(0, p) for p in pads], mode="edge")
     x = jnp.asarray(volp, _upload_dtype(net))[None, ..., None]
-    out = _single_pass_fn(net)(params, x)
+    key, fn = _single_pass_fn(net)
+    # hash, not the module itself — the set must not pin evicted nets
+    pf_key = (key[0], key[1] if key[0] == "id" else hash(key[1]),
+              x.shape, str(x.dtype))
+    if pf_key not in _PREFLIGHTED:
+        # whole-volume decode is the likeliest OOM surface — compile-check
+        # the footprint once per geometry before touching the device
+        # (core/memory.py; the executable is reused, so this is free)
+        _PREFLIGHTED.add(pf_key)
+        from ..core.memory import preflight
+
+        preflight(fn, params, x,
+                  what=f"single-pass decode of {tuple(shp)} volume")
+    out = fn(params, x)
     return np.asarray(out, np.float32)[0, ..., 0][:shp[0], :shp[1], :shp[2]]
 
 
