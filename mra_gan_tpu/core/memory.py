@@ -6,18 +6,27 @@ healthy runtime the reference's failure mode is a mid-epoch CUDA OOM after
 minutes of setup (the torch reference has no equivalent check; it dies at
 the first batch, reference train.py:52 onward). The TPU-native answer is to
 ask the COMPILER for the step's footprint before touching the device:
-``jit(f).lower(*args).compile().memory_analysis()`` performs NO allocation,
-and JAX reuses the executable for the first real call (measured: first call
-0.4 s after a 15 s AOT compile), so the preflight costs nothing.
+``jit(f).lower(*args).compile().memory_analysis()`` performs NO allocation.
+With the persistent XLA compile cache (enabled by all the CLIs,
+core/compile_cache.py) the first real call's compile is then a cache hit
+(measured: 0.4 s after a 15 s AOT compile); with the cache disabled
+(MRA_GAN_TPU_NO_COMPILE_CACHE=1) the preflight costs one extra compile —
+skip it with --no_mem_check / MRA_GAN_TPU_NO_MEM_CHECK=1 if that matters.
 
 Measured on v5e (64^3 patches, bf16 resnet_6blocks CycleGAN step):
-batch 1 ~2.0 GiB, batch 8 ~5.5 GiB (peak + resident arguments) of 16 GiB.
+batch 1 ~2.1 GiB, batch 8 ~6.4 GiB (scheduler peak + resident arguments)
+of 16 GiB — full table in README.md "Memory".
 """
 from __future__ import annotations
 
+import os
+import sys
 from typing import Optional
 
 import jax
+
+TRAIN_ADVICE = ("reduce --batch_size or --patch_size, enable --remat, or "
+                "depth-shard the step with --spatial_parallel")
 
 
 def step_memory_estimate(jitted, *args) -> Optional[dict]:
@@ -26,19 +35,40 @@ def step_memory_estimate(jitted, *args) -> Optional[dict]:
     'peak' is XLA's scheduler peak for temporaries plus the resident
     argument buffers (arguments stay live for the whole program; donated
     ones alias outputs, so this slightly over-counts — acceptable for a
-    preflight bound). Returns None when the backend can't report it."""
+    preflight bound). Returns None when the callable has no AOT path or the
+    backend can't report the analysis. Compile/trace errors PROPAGATE — the
+    first real call would hit the identical error, and an over-HBM program
+    can already fail at compile time (measured: 128^3 x batch-8 on v5e), so
+    swallowing them would silently skip exactly the case the preflight
+    exists for."""
     try:
-        ma = jitted.lower(*args).compile().memory_analysis()
-    except Exception:
+        lower = jitted.lower
+    except AttributeError:  # plain function / validating wrapper
         return None
-    if ma is None or ma.argument_size_in_bytes is None:
+    compiled = lower(*args).compile()
+    try:
+        ma = compiled.memory_analysis()
+    except Exception:  # backend can't report (e.g. some PJRT plugins)
         return None
-    peak = max(int(ma.peak_memory_in_bytes), int(ma.temp_size_in_bytes))
+    if ma is None:
+        return None
+    vals = {}
+    for key, name in (("peakm", "peak_memory_in_bytes"),
+                      ("args", "argument_size_in_bytes"),
+                      ("temp", "temp_size_in_bytes"),
+                      ("out", "output_size_in_bytes")):
+        v = getattr(ma, name, None)
+        if v is None:  # partial reports exist — treat as unreportable
+            return None
+        vals[key] = int(v)
+    # some backends put the scheduler peak in peak_memory, others report it
+    # only through temp_size — take the larger
+    peak = max(vals["peakm"], vals["temp"])
     return {
-        "peak": peak + int(ma.argument_size_in_bytes),
-        "args": int(ma.argument_size_in_bytes),
-        "temp": int(ma.temp_size_in_bytes),
-        "out": int(ma.output_size_in_bytes),
+        "peak": peak + vals["args"],
+        "args": vals["args"],
+        "temp": vals["temp"],
+        "out": vals["out"],
     }
 
 
@@ -53,11 +83,27 @@ def device_memory_limit() -> Optional[int]:
 
 
 def preflight(jitted, *args, what: str = "train step",
-              limit_bytes: Optional[int] = None) -> Optional[dict]:
-    """Print the compiled footprint; SystemExit with actionable advice when
-    a known device limit would be exceeded (no limit known -> print only).
-    The compile is reused by the first real call, so this is free."""
-    est = step_memory_estimate(jitted, *args)
+              limit_bytes: Optional[int] = None,
+              advice: str = TRAIN_ADVICE,
+              exit_on_over: bool = True) -> Optional[dict]:
+    """Print the compiled footprint; when a known device limit would be
+    exceeded, raise SystemExit (CLI entry points) or RuntimeError
+    (exit_on_over=False — library/decode paths where the caller may want to
+    continue with other work) carrying ``advice``. No limit known -> print
+    only. A program that fails to COMPILE gets the advice printed on stderr
+    and the compiler error re-raised (compile-time resource exhaustion is
+    the over-HBM failure mode on some backends).
+
+    MRA_GAN_TPU_NO_MEM_CHECK=1 skips the check everywhere (the CLI-level
+    --no_mem_check only covers train.py's call site)."""
+    if os.environ.get("MRA_GAN_TPU_NO_MEM_CHECK"):
+        return None
+    try:
+        est = step_memory_estimate(jitted, *args)
+    except Exception:
+        print(f"{what}: failed to compile. If the error below reports "
+              f"resource exhaustion: {advice}", file=sys.stderr)
+        raise
     if est is None:
         return None
     lim = limit_bytes if limit_bytes is not None else device_memory_limit()
@@ -68,9 +114,7 @@ def preflight(jitted, *args, what: str = "train step",
         line += f" of {lim / gib:.2f} GiB"
     print(line)
     if lim and est["peak"] > lim:
-        raise SystemExit(
-            f"estimated device memory {est['peak'] / gib:.2f} GiB exceeds "
-            f"the {lim / gib:.2f} GiB limit — reduce --batch_size or "
-            "--patch_size, enable --remat, or depth-shard the step with "
-            "--spatial_parallel")
+        msg = (f"estimated device memory {est['peak'] / gib:.2f} GiB exceeds "
+               f"the {lim / gib:.2f} GiB limit — {advice}")
+        raise SystemExit(msg) if exit_on_over else RuntimeError(msg)
     return est

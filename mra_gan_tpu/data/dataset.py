@@ -75,9 +75,16 @@ class _AsyncCacheWriter:
             return self._pending.get(final_path)
 
     def flush(self) -> None:
-        """Block until every submitted write has been published."""
-        if self._thread is not None and self._thread.is_alive():
-            self._q.join()
+        """Block until every submitted write has been published. If the
+        drain thread died (it shouldn't — _run catches everything), restart
+        one rather than returning with writes still queued: a silent early
+        return here would make warm-cache consumers measure a cold cache."""
+        with self._lock:
+            if (self._q.unfinished_tasks
+                    and (self._thread is None or not self._thread.is_alive())):
+                self._thread = threading.Thread(target=self._run, daemon=True)
+                self._thread.start()
+        self._q.join()
 
     def _run(self) -> None:
         while True:
@@ -88,7 +95,8 @@ class _AsyncCacheWriter:
                 with open(tmp, "wb") as f:  # np.save(path) would append .npy
                     np.save(f, arr)
                 os.replace(tmp, path)
-            except OSError as e:  # disk full etc. — sampling must survive
+            except Exception as e:  # disk full etc. — sampling must survive,
+                # and the drain thread must not die with items still queued
                 print(f"WARNING: cache write failed for {path}: {e}")
             finally:
                 with self._lock:
@@ -204,14 +212,23 @@ class UnpairedVolumeDataset:
             ck = self._cache_key(img_path, lbl_path)
             ip = ck.with_suffix(".image.npy")
             lp = ck.with_suffix(".label.npy")
-            if ip.exists() and lp.exists():
-                return (np.load(ip, mmap_mode="r"),
-                        np.load(lp, mmap_mode="r"))
-            # async-written entries not yet on disk (same content — the
-            # cache key hashes path+size+mtime, so pending == published)
-            pi, pl = _CACHE_WRITER.get_pending(ip), _CACHE_WRITER.get_pending(lp)
-            if pi is not None and pl is not None:
-                return pi, pl
+
+            # Per-file: pending first (async-written entries not yet on
+            # disk hold the same content — the cache key hashes
+            # path+size+mtime), then disk. Pending-before-disk and
+            # per-file (not both-or-neither) close the window where the
+            # writer has published one half of the pair and still queues
+            # the other: publish happens before the pending-map delete, so
+            # a pending miss guarantees the disk check sees the file.
+            def _cached(p):
+                arr = _CACHE_WRITER.get_pending(p)
+                if arr is not None:
+                    return arr
+                return np.load(p, mmap_mode="r") if p.exists() else None
+
+            ci, cl = _cached(ip), _cached(lp)
+            if ci is not None and cl is not None:
+                return ci, cl
         img = self._load(img_path)
         lbl = self._load(lbl_path)
         if self.pipeline == "monai":

@@ -135,11 +135,17 @@ def _upload_dtype(net):
 _SINGLE_PASS_JIT: dict = {}
 _SINGLE_PASS_CAP = 8
 
-
-_PREFLIGHTED: set = set()
+_DECODE_ADVICE = ("decode it with the sliding-window decoder (default "
+                  "test.py mode — streams fixed-size patches) or shard the "
+                  "whole volume across a mesh with --spatial_shard")
 
 
 def _single_pass_fn(net):
+    """-> (jitted apply, preflighted-geometry set). The set lives INSIDE the
+    cache entry so LRU eviction drops it with the executable — a module-less
+    global set keyed on id(net) could match a recycled id after the entry
+    (the only thing keeping an unhashable net alive) is evicted and GC'd,
+    silently skipping the OOM preflight for a different net."""
     try:
         hash(net)
         key = ("net", net)
@@ -147,11 +153,12 @@ def _single_pass_fn(net):
         key = ("id", id(net))
     hit = _SINGLE_PASS_JIT.pop(key, None)  # pop+reinsert = move to MRU
     if hit is None:
-        hit = (net, jax.jit(lambda p, xx: net.apply(p, xx, train=False)))
+        hit = (net, jax.jit(lambda p, xx: net.apply(p, xx, train=False)),
+               set())
     _SINGLE_PASS_JIT[key] = hit
     while len(_SINGLE_PASS_JIT) > _SINGLE_PASS_CAP:
         _SINGLE_PASS_JIT.pop(next(iter(_SINGLE_PASS_JIT)))
-    return key, hit[1]
+    return hit[1], hit[2]
 
 
 def single_pass_apply(net, params, volume: np.ndarray) -> np.ndarray:
@@ -169,19 +176,23 @@ def single_pass_apply(net, params, volume: np.ndarray) -> np.ndarray:
     volp = np.pad(np.asarray(volume, np.float32),
                   [(0, p) for p in pads], mode="edge")
     x = jnp.asarray(volp, _upload_dtype(net))[None, ..., None]
-    key, fn = _single_pass_fn(net)
-    # hash, not the module itself — the set must not pin evicted nets
-    pf_key = (key[0], key[1] if key[0] == "id" else hash(key[1]),
-              x.shape, str(x.dtype))
-    if pf_key not in _PREFLIGHTED:
+    fn, preflighted = _single_pass_fn(net)
+    sig = (x.shape, str(x.dtype))
+    if sig not in preflighted:
         # whole-volume decode is the likeliest OOM surface — compile-check
         # the footprint once per geometry before touching the device
-        # (core/memory.py; the executable is reused, so this is free)
-        _PREFLIGHTED.add(pf_key)
+        # (core/memory.py; with the persistent compile cache the first real
+        # call then compiles as a cache hit). Over-limit raises RuntimeError
+        # (not SystemExit): this volume can't decode single-pass, but the
+        # caller (directory batch mode, bench) may have other work.
         from ..core.memory import preflight
 
         preflight(fn, params, x,
-                  what=f"single-pass decode of {tuple(shp)} volume")
+                  what=f"single-pass decode of {tuple(shp)} volume",
+                  advice=_DECODE_ADVICE, exit_on_over=False)
+        # only record success — an over-limit geometry must keep raising
+        # instead of silently proceeding to a real device OOM next call
+        preflighted.add(sig)
     out = fn(params, x)
     return np.asarray(out, np.float32)[0, ..., 0][:shp[0], :shp[1], :shp[2]]
 

@@ -185,11 +185,22 @@ def main(argv=None):
         import argparse
 
         loaded = load_generator(opt)
+        failed = []
         for p in files:
             sub = argparse.Namespace(**vars(opt))
             sub.image = str(p)
             sub.result = str(out_dir / p.name)
-            inference(sub, loaded)
+            try:
+                inference(sub, loaded)
+            except RuntimeError as e:
+                # per-volume decode failure (e.g. the single-pass HBM
+                # preflight refusing an over-limit geometry) — the rest of
+                # the directory can still decode
+                print(f"SKIPPED {p.name}: {e}")
+                failed.append(p.name)
+        if failed:
+            print(f"{len(failed)}/{len(files)} volumes skipped: "
+                  + ", ".join(failed))
         return None
     return inference(opt)
 

@@ -303,3 +303,64 @@ def test_crop_background_and_confidence_crop():
     ci2, cl2 = confidence_crop(img, lbl, (8, 8, 8), rng)
     assert ci2.shape == (8, 8, 8) and cl2.shape == (8, 8, 8)
     assert cl2.sum() > 0  # crop lands near label foreground
+
+def test_cache_writer_flush_drains_after_dead_thread(tmp_path):
+    """flush() must publish queued writes even when the drain thread is
+    gone — a silent early return would make flush_cache_writes() lie and
+    warm-cache consumers (bench, tests) measure a cold cache."""
+    from mra_gan_tpu.data.dataset import _AsyncCacheWriter
+
+    w = _AsyncCacheWriter()
+    path = tmp_path / "x.npy"
+    arr = np.arange(6, dtype=np.float32)
+    # enqueue as submit() would, but with no drain thread ever started
+    # (equivalent to the thread having died before the write)
+    with w._lock:
+        w._pending[path] = arr
+    w._q.put((path, arr))
+    w.flush()
+    assert path.exists()
+    np.testing.assert_array_equal(np.load(path), arr)
+    assert w.get_pending(path) is None
+
+
+def test_preprocess_mixed_pending_and_disk(tmp_path):
+    """Cache lookup is per-file across {pending, disk}: with the image half
+    already published and the label half still in the async writer, the
+    sampler must NOT re-run full preprocessing (re-reading the NIfTI and
+    re-submitting writes) — the exact window the async writer creates."""
+    from mra_gan_tpu.data import dataset as dsmod
+    from mra_gan_tpu.data.dataset import (UnpairedVolumeDataset,
+                                          flush_cache_writes)
+
+    rng = np.random.RandomState(0)
+    for sub in ("images", "labels"):
+        (tmp_path / sub).mkdir()
+        vol = rng.rand(12, 12, 12).astype(np.float32) * 100 + 1
+        nifti.save(nifti.NiftiImage(data=vol, affine=np.eye(4)),
+                   tmp_path / sub / "0.nii")
+    ds = UnpairedVolumeDataset(tmp_path, patch_size=(8, 8, 8),
+                               pipeline="monai",
+                               cache_dir=str(tmp_path / "cache"))
+    img, lbl = ds._preprocess(0, 0)
+    flush_cache_writes()
+    ck = ds._cache_key(ds.image_paths[0], ds.label_paths[0])
+    lp = ck.with_suffix(".label.npy")
+    assert lp.exists()
+    # re-create the half-published state: label only pending, image on disk
+    lbl_arr = np.array(lbl)
+    lp.unlink()
+    with dsmod._CACHE_WRITER._lock:
+        dsmod._CACHE_WRITER._pending[lp] = lbl_arr
+    try:
+        ds._load = _boom  # any reprocess would re-read the NIfTI
+        img2, lbl2 = ds._preprocess(0, 0)
+        np.testing.assert_array_equal(np.asarray(img2), np.asarray(img))
+        np.testing.assert_array_equal(np.asarray(lbl2), lbl_arr)
+    finally:
+        with dsmod._CACHE_WRITER._lock:
+            dsmod._CACHE_WRITER._pending.pop(lp, None)
+
+
+def _boom(*a, **k):
+    raise AssertionError("full preprocessing re-ran on a cached pair")

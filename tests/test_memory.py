@@ -77,3 +77,53 @@ def test_preflight_on_real_step_and_spatial_wrapper():
 def test_device_memory_limit_optional():
     lim = device_memory_limit()  # None on CPU/axon; int on reporting runtimes
     assert lim is None or lim > 0
+
+def test_step_memory_estimate_propagates_compile_errors():
+    """Trace/compile failures must NOT be swallowed into None — an over-HBM
+    program can fail at compile time, which is exactly the case the
+    preflight exists to surface early (with advice, before device work)."""
+    bad = jax.jit(lambda x: x @ jnp.zeros((3, 3)))  # contract dim mismatch
+    with pytest.raises(TypeError):
+        step_memory_estimate(bad, jnp.zeros((4, 4)))
+
+
+def test_preflight_compile_failure_prints_advice(capsys):
+    bad = jax.jit(lambda x: x @ jnp.zeros((3, 3)))
+    with pytest.raises(TypeError):
+        preflight(bad, jnp.zeros((4, 4)), what="bad step",
+                  advice="do-the-decode-thing")
+    assert "do-the-decode-thing" in capsys.readouterr().err
+
+
+def test_preflight_runtime_error_mode_and_env_skip(monkeypatch):
+    """exit_on_over=False (decode paths) raises a catchable RuntimeError
+    with the caller's advice; MRA_GAN_TPU_NO_MEM_CHECK skips everywhere."""
+    with pytest.raises(RuntimeError) as ei:
+        preflight(_jitted_sum(), jnp.zeros((256, 256)), limit_bytes=1024,
+                  advice="shard it with --spatial_shard", exit_on_over=False)
+    assert "--spatial_shard" in str(ei.value)
+    monkeypatch.setenv("MRA_GAN_TPU_NO_MEM_CHECK", "1")
+    assert preflight(_jitted_sum(), jnp.zeros((256, 256)),
+                     limit_bytes=1024) is None
+
+
+def test_single_pass_over_limit_raises_decode_advice(monkeypatch):
+    """single_pass_apply's preflight must carry decode-applicable advice
+    (sliding-window / --spatial_shard, NOT train flags), raise a catchable
+    error (directory batch mode continues with other volumes), and keep
+    raising on a repeat call (over-limit geometries are not recorded as
+    preflighted, else the second call would run into a real device OOM)."""
+    from mra_gan_tpu.core import memory
+    from mra_gan_tpu.models.networks import ResnetGenerator3D
+    from mra_gan_tpu.parallel.spatial import single_pass_apply
+
+    monkeypatch.setattr(memory, "device_memory_limit", lambda: 1024)
+    net = ResnetGenerator3D(output_nc=1, ngf=2, n_blocks=1)
+    vol = np.zeros((12, 12, 12), np.float32)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 12, 12, 12, 1), net.dtype), train=False)
+    for _ in range(2):
+        with pytest.raises(RuntimeError) as ei:
+            single_pass_apply(net, params, vol)
+        msg = str(ei.value)
+        assert "--spatial_shard" in msg and "--remat" not in msg

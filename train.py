@@ -159,8 +159,9 @@ def main(argv=None):
 
     if not getattr(opt, "no_mem_check", False):
         # compile-only HBM preflight: a device OOM poisons the process on
-        # some runtimes, so ask the compiler first (the compile is reused
-        # by the first real step — free). core/memory.py.
+        # some runtimes, so ask the compiler first (with the persistent
+        # compile cache the first real step then compiles as a cache hit).
+        # core/memory.py.
         from mra_gan_tpu.core.memory import preflight
 
         ex = put(np.zeros((opt.batch_size, *patch, 1), np.float32))
