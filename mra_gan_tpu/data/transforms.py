@@ -124,18 +124,64 @@ def manual_normalize(data: np.ndarray, window_min: float, window_max: float) -> 
     return (x - window_min) * (255.0 / span) if span > 0 else np.zeros_like(x)
 
 
+def adaptive_equalize_itk(data: np.ndarray, alpha: float = 0.7,
+                          beta: float = 0.8, radius: int = 5) -> np.ndarray:
+    """Reference-parity Adapt_eq_histogram (utils/NiftiDataset.py:935-958):
+    ITK's AdaptiveHistogramEqualizationImageFilter with the reference's
+    SetAlpha(0.7)/SetBeta(0.8) and default radius 5, followed by the
+    reference's RescaleIntensity to [0, 255].
+
+    The filter is Stark's power-law generalization of windowed histogram
+    equalization: per voxel u, over its (2r+1)^3 window of neighbors v
+    (edge-replicated boundary), accumulate
+
+        C(u, v) = 0.5 * sgn(u - v) * |2(u - v)|^alpha + beta * v
+
+    on min-max-normalized intensities, then mean over the window. The form
+    is pinned down by ITK's documented limit behaviors, all of which hold
+    here exactly (tests/test_transforms.py): alpha=0, beta=0 is classical
+    windowed histogram equalization (the sgn-sum is the window rank);
+    alpha=1, beta=0 is an unsharp mask (u - local mean); alpha=1, beta=1 is
+    pass-through. Normalization-convention constants (ITK centers on
+    [-0.5, 0.5]) cancel in the trailing min-max rescale. Bit-exactness vs
+    ITK is unverifiable in this environment (no SimpleITK) — recorded
+    residual risk, limited to boundary handling.
+
+    Cost is O(voxels * (2r+1)^3) — ~1.3k whole-volume passes at the default
+    radius; intended for offline preprocessing like the reference's use."""
+    x = np.asarray(data, np.float32)
+    lo, hi = float(x.min()), float(x.max())
+    if hi <= lo:
+        return np.zeros_like(x)
+    u = (x - lo) / (hi - lo)
+    r = int(radius)
+    up = np.pad(u, r, mode="edge")  # ZeroFluxNeumann
+    d0, d1, d2 = u.shape
+    acc = np.zeros_like(u)
+    vsum = np.zeros_like(u)
+    for di in range(2 * r + 1):
+        for dj in range(2 * r + 1):
+            for dk in range(2 * r + 1):
+                v = up[di:di + d0, dj:dj + d1, dk:dk + d2]
+                dlt = u - v
+                acc += 0.5 * np.sign(dlt) * np.abs(2.0 * dlt) ** alpha
+                vsum += v
+    n = float((2 * r + 1) ** 3)
+    f = acc / n + beta * vsum / n + 0.5
+    flo, fhi = float(f.min()), float(f.max())
+    if fhi <= flo:
+        return np.zeros_like(f)
+    return (f - flo) / (fhi - flo) * 255.0
+
+
 def adaptive_equalize(data: np.ndarray, alpha: float = 0.6, beta: float = 0.3,
                       tiles: int = 4, clip_limit: float = 3.0) -> np.ndarray:
-    """Adaptive (LOCAL) histogram equalization (reference Adapt_eq_histogram,
-    utils/NiftiDataset.py:935-958, which wraps ITK's per-voxel-window
-    AdaptiveHistogramEqualization(alpha=0.6, beta=0.3) then rescales 0-255).
-
-    Recorded deviation: ITK runs Stark's power-law AHE over a sliding
-    window; this numpy-only rebuild uses tiled CLAHE — per-tile
+    """Fast tiled-CLAHE variant of local histogram equalization — per-tile
     clip-redistributed histograms with trilinear interpolation of the tile
-    mappings — which matches the local-contrast character without the ITK
-    dependency. ``alpha`` blends equalized vs identity and ``beta`` keeps
-    its power-law role, mirroring the reference's parameter intent."""
+    mappings. Kept as the cheap approximate option; the reference-parity
+    algorithm (reference Adapt_eq_histogram, utils/NiftiDataset.py:935-958)
+    is ``adaptive_equalize_itk``. NOTE the parameters here are CLAHE-style
+    (``alpha`` blends equalized vs identity), not ITK's Stark alpha/beta."""
     x = data.astype(np.float32)
     lo, hi = np.percentile(x, [1, 99])
     x = np.clip(x, lo, hi)

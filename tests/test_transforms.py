@@ -37,3 +37,70 @@ def test_align_to_copies_affine_only():
     out = align_to(img, ref)
     np.testing.assert_array_equal(out.data, img.data)
     np.testing.assert_array_equal(out.affine, ref.affine)
+
+def _brute_ahe(vol, alpha, beta, r):
+    """Per-voxel literal transcription of the Stark/ITK windowed cumulation
+    (see transforms.adaptive_equalize_itk docstring) — the oracle for the
+    vectorized implementation."""
+    x = vol.astype(np.float32)
+    u = (x - x.min()) / (x.max() - x.min())
+    up = np.pad(u, r, mode="edge")
+    f = np.zeros_like(u)
+    D, H, W = u.shape
+    for i in range(D):
+        for j in range(H):
+            for k in range(W):
+                win = up[i:i + 2 * r + 1, j:j + 2 * r + 1, k:k + 2 * r + 1]
+                d = u[i, j, k] - win
+                c = 0.5 * np.sign(d) * np.abs(2.0 * d) ** alpha + beta * win
+                f[i, j, k] = c.mean() + 0.5
+    return (f - f.min()) / (f.max() - f.min()) * 255.0
+
+
+def test_adaptive_equalize_itk_matches_bruteforce():
+    from mra_gan_tpu.data.transforms import adaptive_equalize_itk
+
+    rng = np.random.RandomState(1)
+    vol = (rng.rand(7, 6, 5) * 100 + 3).astype(np.float32)
+    for alpha, beta in ((0.7, 0.8), (0.0, 0.0), (0.3, 0.5)):
+        got = adaptive_equalize_itk(vol, alpha=alpha, beta=beta, radius=2)
+        np.testing.assert_allclose(got, _brute_ahe(vol, alpha, beta, 2),
+                                   atol=2e-3)
+
+
+def test_adaptive_equalize_itk_documented_limits():
+    """ITK documents three limit behaviors that pin down the algorithm:
+    alpha=1,beta=1 pass-through; alpha=1,beta=0 unsharp mask (local-mean
+    subtraction); alpha=0 classical windowed equalization (rank mapping).
+    All three must hold exactly (up to the trailing min-max rescale)."""
+    from mra_gan_tpu.data.transforms import adaptive_equalize_itk
+
+    rng = np.random.RandomState(2)
+    vol = (rng.rand(6, 6, 6) * 50 + 10).astype(np.float32)
+    r = 2
+    span = vol.max() - vol.min()
+    u = (vol - vol.min()) / span
+
+    # pass-through: output is exactly the min-max rescale of the input
+    out = adaptive_equalize_itk(vol, alpha=1.0, beta=1.0, radius=r)
+    np.testing.assert_allclose(out, u * 255.0, atol=1e-2)
+
+    # unsharp mask: f = u - boxmean(u), up to the rescale
+    up = np.pad(u, r, mode="edge")
+    n = 2 * r + 1
+    mean = np.zeros_like(u)
+    for i in range(u.shape[0]):
+        for j in range(u.shape[1]):
+            for k in range(u.shape[2]):
+                mean[i, j, k] = up[i:i + n, j:j + n, k:k + n].mean()
+    f = u - mean
+    want = (f - f.min()) / (f.max() - f.min()) * 255.0
+    out = adaptive_equalize_itk(vol, alpha=1.0, beta=0.0, radius=r)
+    np.testing.assert_allclose(out, want, atol=1e-2)
+
+    # classical windowed equalization: the sgn-sum is the window rank, so
+    # within any window the mapping is monotone in the voxel value
+    out = adaptive_equalize_itk(vol, alpha=0.0, beta=0.0, radius=r)
+    a, b = vol[2, 3, 3], vol[2, 3, 4]
+    if a != b:
+        assert (out[2, 3, 3] < out[2, 3, 4]) == (a < b)
