@@ -19,9 +19,15 @@ the intensity augs hit BOTH image and label):
               (reference :1165-1167), same transform for both members.
 - B-spline:   order-3 spline, 10^3 control mesh, control displacements
               ~ U(0,1)*10 (reference :1178-1202), both members. Recorded
-              deviations: we warp the sampled patch (the reference warps the
-              whole volume before cropping) and upsample the control grid
-              trilinearly instead of with a cubic spline.
+              deviations: we warp the sampled patch (the reference's
+              dormant legacy chain warps the whole volume before cropping —
+              reference train.py:60-62, commented out; consequences: the
+              10^3 mesh spans the patch so the deformation field has a
+              higher spatial frequency than volume-domain at the same
+              displacement scale, and samples displaced past the patch edge
+              clamp instead of reading true neighboring voxels) and
+              upsample the control grid trilinearly instead of with a
+              cubic spline.
 - flip:       axis ~ choice{0,1} (reference :1210). The reference's flipit
               RETURNS THE UN-FLIPPED IMAGE (recorded bug, :278-294); ours
               performs the intended flip.
