@@ -16,7 +16,10 @@ pairs/s divided by that anchor.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+import traceback
 from pathlib import Path
 
 import jax
@@ -28,6 +31,33 @@ BATCH = 1
 PATCH = (64, 64, 64)
 WARMUP = 3
 ITERS = 20
+
+METRIC_NAME = "64^3-patch pairs/sec/chip (full CycleGAN train step, bf16)"
+
+
+def _acquire_backend():
+    """First device contact, with bounded retry + backoff.
+
+    The tunneled TPU pool grants the chip exclusively; if the queue is
+    wedged by a recently killed client or another process holds the grant,
+    backend init raises UNAVAILABLE (this killed the round-3 driver bench,
+    BENCH_r03.json rc=1). Per the back-off guidance in CLAUDE.md we make a
+    few well-spaced attempts — never a tight loop, which re-wedges the
+    queue — and let the caller emit an error JSON on final failure.
+    """
+    attempts = int(os.environ.get("MRA_GAN_TPU_BENCH_ATTEMPTS", "3"))
+    backoff = float(os.environ.get("MRA_GAN_TPU_BENCH_BACKOFF_SECS", "240"))
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            if i + 1 == attempts:
+                raise
+            print(f"[bench] backend unavailable (attempt {i + 1}/{attempts});"
+                  f" backing off {backoff:.0f}s before retrying",
+                  file=sys.stderr, flush=True)
+            time.sleep(backoff)
 
 
 def _bench_inference(cfg, state):
@@ -130,9 +160,28 @@ def _bench_loader():
 
 
 def main() -> None:
+    errors: dict[str, str] = {}
+    try:
+        _run(errors)
+    except Exception as e:
+        # Final failure: one parseable JSON line with the error instead of
+        # rc=1 and no data (the round-3 failure mode).
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": METRIC_NAME,
+            "value": None,
+            "unit": "pairs/s",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
+            "errors": errors or None,
+        }))
+
+
+def _run(errors: dict[str, str]) -> None:
     from mra_gan_tpu.core.compile_cache import enable_compilation_cache
     from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state, make_train_step
 
+    _acquire_backend()
     enable_compilation_cache()
 
     cfg = CycleGANConfig(ngf=32, ndf=32, net_g="resnet_6blocks", net_d="n_layers",
@@ -165,7 +214,9 @@ def main() -> None:
         infer_secs = round(secs["exact"], 3)
         infer_secs_f16 = round(secs["f16_out"], 3)
         infer_secs_sp = round(secs["single_pass"], 3)
-    except Exception:
+    except Exception as e:
+        traceback.print_exc(file=sys.stderr)
+        errors["inference"] = f"{type(e).__name__}: {e}"
         infer_secs = infer_secs_f16 = infer_secs_sp = None
 
     # throughput mode: batch 8 (the production configuration; same model,
@@ -184,17 +235,21 @@ def main() -> None:
             state8, m8 = step(state8, a8, b8, jax.random.PRNGKey(300 + i), 2e-4)
         hard_sync(m8)
         batch8_pairs = round(8 * 8 / (time.perf_counter() - t0), 3)
-    except Exception:
+    except Exception as e:
+        traceback.print_exc(file=sys.stderr)
+        errors["batch8"] = f"{type(e).__name__}: {e}"
         batch8_pairs = None
 
     try:
         loader = _bench_loader()
-    except Exception:
+    except Exception as e:
+        traceback.print_exc(file=sys.stderr)
+        errors["loader"] = f"{type(e).__name__}: {e}"
         loader = None
 
     pairs_per_sec = BATCH * ITERS / dt
     print(json.dumps({
-        "metric": "64^3-patch pairs/sec/chip (full CycleGAN train step, bf16)",
+        "metric": METRIC_NAME,
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / V100_PAIRS_PER_SEC_EST, 2),
@@ -203,6 +258,7 @@ def main() -> None:
         "inference_secs_per_volume_single_pass": infer_secs_sp,
         "batch8_pairs_per_sec": batch8_pairs,
         "loader_patch_pairs_per_sec": loader,
+        "errors": errors or None,
     }))
 
 

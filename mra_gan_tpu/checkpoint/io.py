@@ -376,7 +376,31 @@ def _load_dynet(sd: dict, params) -> dict:
             want_keys.add(tb + ".bias")
     have = set(sd.keys())
     # skip_layers.* keys are aliases of the canonical blocks (shared
-    # storage, see _dynet_alias_map) — tolerated and ignored on import
+    # storage, see _dynet_alias_map) — ignored on import, but VERIFIED
+    # against their canonical twins first: a merged/hand-edited checkpoint
+    # whose duplicates diverged would otherwise import silently from the
+    # canonical half only. Longest-prefix match, since the bottleneck's
+    # chain prefix is a proper prefix of deeper downsample/upsample ones.
+    n_levels = 1 + sum(1 for p, _, _ in entries
+                       if p[0] == "upsamples" or str(p[0]).startswith("upsamples_")
+                       if p[-1] == "transp_conv")
+    aliases = sorted(_dynet_alias_map(n_levels),
+                     key=lambda pc: -len(pc[0]))
+    for k in sorted(have):
+        if not k.startswith("skip_layers"):
+            continue
+        for apre, cpre in aliases:
+            if k.startswith(apre + "."):
+                ck = cpre + k[len(apre):]
+                if ck in have and not np.array_equal(
+                        sd[k].numpy(), sd[ck].numpy()):
+                    raise ValueError(
+                        f"Dynet checkpoint alias {k} diverges from its "
+                        f"canonical twin {ck} — MONAI DynUNet registers "
+                        "shared modules twice and both copies must be "
+                        "identical; this checkpoint appears merged or "
+                        "edited inconsistently.")
+                break
     extras = {k for k in have - want_keys if not k.startswith("skip_layers")}
     if extras or (want_keys - have):
         raise ValueError(

@@ -24,7 +24,17 @@ def enable_compilation_cache() -> None:
 
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return  # JAX picks it up itself
-    if jax.default_backend() == "cpu":
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        # default_backend() is this process's FIRST device contact; on the
+        # tunneled TPU pool it can raise UNAVAILABLE if the grant queue is
+        # wedged (round-3 driver bench died exactly here). The cache is an
+        # optimization — never let enabling it be the thing that kills a
+        # run. Callers that need the device will hit (and may retry) the
+        # real error at their own first device op.
+        return
+    if backend == "cpu":
         # XLA:CPU caches AOT machine code keyed loosely on host features;
         # reloading on a slightly different CPU risks SIGILL and CPU
         # compiles are cheap anyway — cache only accelerator programs

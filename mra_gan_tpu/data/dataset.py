@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import sys
 import threading
 import queue as queue_mod
 from pathlib import Path
@@ -89,15 +90,20 @@ class _AsyncCacheWriter:
     def _run(self) -> None:
         while True:
             path, arr = self._q.get()
+            tmp = path.with_name(
+                path.name + f".tmp{os.getpid()}.{threading.get_ident()}")
             try:
-                tmp = path.with_name(
-                    path.name + f".tmp{os.getpid()}.{threading.get_ident()}")
                 with open(tmp, "wb") as f:  # np.save(path) would append .npy
                     np.save(f, arr)
                 os.replace(tmp, path)
             except Exception as e:  # disk full etc. — sampling must survive,
                 # and the drain thread must not die with items still queued
-                print(f"WARNING: cache write failed for {path}: {e}")
+                try:
+                    tmp.unlink(missing_ok=True)  # don't accumulate orphans
+                except OSError:
+                    pass
+                print(f"WARNING: cache write failed for {path}: {e}",
+                      file=sys.stderr)
             finally:
                 with self._lock:
                     if self._pending.get(path) is arr:
@@ -200,6 +206,13 @@ class UnpairedVolumeDataset:
         return nifti.load(path)
 
     def _preprocess(self, idx: int, lbl_idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Deterministic per-volume preprocessing.
+
+        RETURN CONTRACT: the arrays may be READ-ONLY (warm-cache hits are
+        ``np.load(..., mmap_mode='r')`` views; cold paths return writable
+        arrays). Consumers must not mutate in place — copy first (all
+        current patch samplers do, via np.pad/fancy indexing, which copy).
+        """
         img_path = self.image_paths[idx]
         lbl_path = self.label_paths[lbl_idx]
         if self.cache_dir:

@@ -139,9 +139,11 @@ def _weight_volume(patch, strides, blend, padded, starts, win):
     ~0.8 s device decode."""
     # key on the CONTENT of the start set: with flush rows, volumes of
     # different sizes can share (padded, len(starts)) but have different
-    # grids — a stale weight volume would silently mis-blend seams
+    # grids — a stale weight volume would silently mis-blend seams. The raw
+    # bytes (not their hash) go in the key: the starts array is tiny, and an
+    # exact match rules out even a hash collision reusing a wrong blend.
     wkey = ("wsum", patch, strides, blend, tuple(padded),
-            hash(np.asarray(starts, np.int32).tobytes()))
+            np.asarray(starts, np.int32).tobytes())
     wsum = _DECODE_CACHE.get(wkey)
     if wsum is None:
         wsum = np.zeros(padded, np.float32)

@@ -55,6 +55,12 @@ class TrainOptions(BaseOptions):
                                  "segment-boundary policy): ~20-25%% less "
                                  "peak memory for ~30%% more step time — "
                                  "for patches that otherwise exceed HBM")
+        parser.add_argument("--dump_patches", type=int, default=0,
+                            help="write the first N sampled patch pairs of "
+                                 "the run to <checkpoints>/<name>/patch_dumps/"
+                                 " as .nii.gz for offline QA (mechanized "
+                                 "version of the reference's commented dump "
+                                 "blocks, reference train.py:83-107)")
         parser.add_argument("--no_mem_check", action="store_true",
                             help="skip the compile-only device-memory "
                                  "preflight of the train step (core/memory.py)")

@@ -38,10 +38,20 @@ def test_train_resume_infer_evaluate(data_root):
     common = ["--data_path", str(data_root / "train"), "--checkpoints_dir", ck,
               "--name", "e2e", *SMALL, "--pool_size", "2", "--batch_size", "2",
               "--print_freq", "2", "--save_epoch_freq", "1"]
-    train_cli.main(common + ["--niter", "1", "--niter_decay", "0"])
+    train_cli.main(common + ["--niter", "1", "--niter_decay", "0",
+                             "--dump_patches", "3"])
     assert (data_root / "ck/e2e/ckpt_latest").exists()
     assert (data_root / "ck/e2e/loss_log.txt").read_text().count("epoch: 1") >= 1
     assert (data_root / "ck/e2e/opt.txt").exists()
+
+    # --dump_patches: first N sampled pairs written as NIfTI (the mechanized
+    # form of the reference's commented dump blocks, reference train.py:83-107)
+    dumps = sorted((data_root / "ck/e2e/patch_dumps").glob("*.nii.gz"))
+    assert [p.name for p in dumps] == [
+        f"patch_{i:04d}_{t}.nii.gz" for i in range(3) for t in ("A", "B")]
+    d0 = nifti.load(dumps[0])
+    assert d0.data.shape == (16, 16, 16)  # the training patch size
+    assert np.isfinite(d0.data).all()
 
     # exact resume: continue one more epoch from 'latest'
     train_cli.main(common + ["--niter", "2", "--niter_decay", "0",

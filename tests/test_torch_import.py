@@ -168,6 +168,40 @@ def test_dynet_mapping_exists(tmp_path):
     assert "output_block.conv.conv.bias" in sd
 
 
+def test_dynet_divergent_alias_rejected(tmp_path):
+    """Real MONAI checkpoints duplicate every block under skip_layers.*
+    (shared modules registered twice). Identical aliases import fine;
+    a DIVERGENT alias (merged/edited checkpoint) must be rejected, not
+    silently resolved from the canonical half (r3 advisor finding)."""
+    from mra_gan_tpu.checkpoint.io import _dynet_alias_map
+    from mra_gan_tpu.models.networks import DynUNet3D
+
+    net = DynUNet3D(output_nc=1, sizes=(32, 32, 16))
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 8, 1)),
+                      train=False)
+    pth = tmp_path / "d.pth"
+    save_torch_network(params, pth, arch="Dynet")
+    sd = torch.load(pth, weights_only=True)
+
+    n_levels = 1 + sum(1 for k in sd
+                       if k.endswith("transp_conv.conv.weight"))
+    # materialize the full alias set exactly as torch's state_dict would
+    for apre, cpre in _dynet_alias_map(n_levels):
+        for k in list(sd):
+            if k.startswith(cpre + "."):
+                sd[apre + k[len(cpre):]] = sd[k].clone()
+    pth2 = tmp_path / "with_aliases.pth"
+    torch.save(sd, pth2)
+    load_torch_network(pth2, params, arch="Dynet")  # identical twins: fine
+
+    alias_key = next(k for k in sd if k.startswith("skip_layers."))
+    sd[alias_key] = sd[alias_key] + 1.0
+    pth3 = tmp_path / "diverged.pth"
+    torch.save(sd, pth3)
+    with pytest.raises(ValueError, match="diverges from its canonical"):
+        load_torch_network(pth3, params, arch="Dynet")
+
+
 # ---------------------------------------------------------------------------
 # export: strict load into the real reference nets + output parity
 

@@ -184,6 +184,21 @@ def main(argv=None):
     total_steps = 0
     last_metric = None
 
+    # --dump_patches N: write the first N sampled patch pairs as NIfTI for
+    # offline QA — the mechanized form of the reference's commented-out
+    # patch-dump blocks (reference train.py:83-107 wrote patch_real_A/B to
+    # .nii.gz via sitk). Dumped pre-augmentation, i.e. exactly what the
+    # loader produced, like the reference's blocks.
+    dumps_left = int(getattr(opt, "dump_patches", 0) or 0)
+    dump_idx = 0
+    if dumps_left:
+        from pathlib import Path as _Path
+
+        from mra_gan_tpu.data import nifti as _nifti
+
+        dump_dir = _Path(opt.checkpoints_dir) / opt.name / "patch_dumps"
+        dump_dir.mkdir(parents=True, exist_ok=True)
+
     profiling = bool(getattr(opt, "profile_dir", ""))
     for epoch in range(opt.epoch_count, opt.niter + opt.niter_decay + 1):
         if profiling and epoch == opt.epoch_count:
@@ -206,6 +221,17 @@ def main(argv=None):
         sampled_step = -1  # total_steps value of the last print-time sample
         for image_b, label_b in loader.epoch(epoch):
             timer.data_ready()
+            if dumps_left > 0:
+                for k in range(image_b.shape[0]):
+                    if dumps_left <= 0:
+                        break
+                    for tag, arr in (("A", image_b), ("B", label_b)):
+                        _nifti.save(_nifti.NiftiImage(
+                            data=np.asarray(arr[k, ..., 0], np.float32),
+                            affine=np.eye(4)),
+                            dump_dir / f"patch_{dump_idx:04d}_{tag}.nii.gz")
+                    dump_idx += 1
+                    dumps_left -= 1
             # AtoB: image -> real_A, label -> real_B (reference train.py:123
             # feeds [image, label] into set_input)
             a, b = put(image_b), put(label_b)
