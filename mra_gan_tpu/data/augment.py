@@ -4,9 +4,11 @@ The reference's ``Augmentation`` transform draws one of 8 active choices per
 sample (reference utils/NiftiDataset.py:1113-1300, choice list :1124):
 0 none, 1 additive Gaussian noise, 2 recursive Gaussian blur, 3 random
 rotation about x/y/z, 4 B-spline deformation, 5 flip, 6 brightness, 7
-contrast. (Choices 8-12 — translate, single-axis rotations, gamma — are
-unreachable in the reference and reproduced by simply not selecting them;
-the ops are still exported.)
+contrast. Choices 8-12 — in-plane translate, single-axis z/x/y rotations,
+gamma imadjust — exist in the reference but are UNREACHABLE there (the
+policy draws from [0,8), :1124); the default policy reproduces that, and
+``extended=True`` (train.py --augment_extended) makes them reachable as a
+uniform 13-way draw.
 
 Distribution parity with the reference, which augments 0-255-scaled volumes
 (its module-level ``Segmentation = False`` at utils/NiftiDataset.py:21 makes
@@ -175,7 +177,8 @@ def contrast(x, key=None, factor=None, lo=None, hi=None):
 def translate3d(x, key, max_shift: int = 40, order: int = 1):
     """Random in-plane translation (the reference's translateit with offsets
     ~ randint[-40,40), utils/NiftiDataset.py:354-369,1243-1255 — an
-    UNREACHABLE choice in the reference policy; exported but not selected)."""
+    UNREACHABLE choice in the reference policy; reachable here via
+    ``extended=True``)."""
     shift = jax.random.randint(key, (2,), -max_shift, max_shift).astype(jnp.float32)
     d, h, w = x.shape
     ii, jj, kk = jnp.meshgrid(jnp.arange(d), jnp.arange(h), jnp.arange(w), indexing="ij")
@@ -183,20 +186,39 @@ def translate3d(x, key, max_shift: int = 40, order: int = 1):
     return jax.scipy.ndimage.map_coordinates(x, coords, order=order, mode="nearest").reshape(x.shape)
 
 
+def imadjust(x, gamma, lo=None, hi=None):
+    """Power-law (gamma) intensity remap (the reference's imadjust,
+    utils/NiftiDataset.py:372-387: min-max normalize, ``** gamma``, rescale
+    to 0-255 — an UNREACHABLE choice 12 there, with gamma drawn ONCE at
+    import time via a mutable default arg, both recorded bugs). Here the
+    output rescales to [lo, hi] (the data's own convention, not hard-coded
+    0-255) and gamma is drawn per sample ~ U(1,2) by the extended policy."""
+    xmin, xmax = jnp.min(x), jnp.max(x)
+    lo = xmin if lo is None else lo
+    hi = xmax if hi is None else hi
+    z = (x - xmin) / jnp.maximum(xmax - xmin, 1e-8)
+    return z ** gamma * (hi - lo) + lo
+
+
 # ---------------------------------------------------------------------------
 # the random policy
 
 
 def random_augment(image: jax.Array, label: jax.Array, key: jax.Array,
-                   value_range=None, segmentation: bool = False):
+                   value_range=None, segmentation: bool = False,
+                   extended: bool = False):
     """One random choice of the reference's 8 active augmentations applied to
     an (image, label) pair with reference-parity magnitudes (module
     docstring). ``segmentation=False`` (the reference's setting,
     utils/NiftiDataset.py:21) applies the intensity augs to both members;
     True restricts them to the image. Spatial augs always use the same
-    transform for both. Jittable."""
+    transform for both. ``extended=True`` additionally enables the
+    reference's five UNREACHABLE choices 8-12 (in-plane translate,
+    single-axis z/x/y rotations, gamma imadjust on the image only —
+    reference utils/NiftiDataset.py:1243-1300, never drawn there because the
+    policy samples choice in [0,8)) as a uniform 13-way draw. Jittable."""
     k_choice, k_a, k_b = jax.random.split(key, 3)
-    choice = jax.random.randint(k_choice, (), 0, 8)
+    choice = jax.random.randint(k_choice, (), 0, 13 if extended else 8)
 
     if value_range is not None:
         ilo = llo = jnp.float32(value_range[0])
@@ -261,21 +283,44 @@ def random_augment(image: jax.Array, label: jax.Array, key: jax.Array,
             lambda v: contrast(v, factor=factor, lo=ilo, hi=ihi),
             lambda v: contrast(v, factor=factor, lo=llo, hi=lhi))
 
+    def aug_translate(im, lb):
+        return translate3d(im, k_a), translate3d(lb, k_a)
+
+    def _single_axis_rot(axis_idx, lo_deg, hi_deg):
+        def aug(im, lb):
+            deg = jax.random.randint(k_a, (), lo_deg, hi_deg).astype(jnp.float32)
+            angles = jnp.zeros(3).at[axis_idx].set(deg * (math.pi / 180.0))
+            return rotate3d(im, angles), rotate3d(lb, angles)
+        return aug
+
+    def aug_imadjust(im, lb):
+        gamma = jax.random.uniform(k_a, (), minval=1.0, maxval=2.0)
+        return imadjust(im, gamma, lo=ilo, hi=ihi), lb  # image only (:1297)
+
     branches = [aug_none, aug_noise, aug_blur, aug_rotate, aug_bspline,
                 aug_flip, aug_brightness, aug_contrast]
+    if extended:
+        branches += [aug_translate,
+                     _single_axis_rot(2, -180, 180),  # choice 9: z
+                     _single_axis_rot(0, -40, 40),    # choice 10: x
+                     _single_axis_rot(1, -40, 40),    # choice 11: y
+                     aug_imadjust]                    # choice 12
     return jax.lax.switch(choice, branches, image, label)
 
 
-@partial(jax.jit, static_argnames=("value_range", "segmentation"))
+@partial(jax.jit, static_argnames=("value_range", "segmentation", "extended"))
 def augment_batch(images: jax.Array, labels: jax.Array, key: jax.Array,
-                  value_range=None, segmentation: bool = False):
+                  value_range=None, segmentation: bool = False,
+                  extended: bool = False):
     """Vectorized policy over a batch of (B,D,H,W,1) patches — ONE compiled
     program per patch shape. ``value_range`` is the data's intensity
     convention (e.g. (-1.0, 1.0) for the legacy pipeline); None derives each
-    member's range per sample (the monai pipeline's z-scored images)."""
+    member's range per sample (the monai pipeline's z-scored images).
+    ``extended`` enables the reference's unreachable choices 8-12."""
     keys = jax.random.split(key, images.shape[0])
     im = images[..., 0]
     lb = labels[..., 0]
     out_i, out_l = jax.vmap(
-        lambda i, l, k: random_augment(i, l, k, value_range, segmentation))(im, lb, keys)
+        lambda i, l, k: random_augment(i, l, k, value_range, segmentation,
+                                       extended))(im, lb, keys)
     return out_i[..., None], out_l[..., None]

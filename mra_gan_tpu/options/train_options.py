@@ -49,6 +49,11 @@ class TrainOptions(BaseOptions):
         parser.add_argument("--augment", action="store_true",
                             help="random on-device augmentation of each patch batch "
                                  "(noise/blur/rotate/bspline/flip/brightness/contrast)")
+        parser.add_argument("--augment_extended", action="store_true",
+                            help="with --augment: also enable the reference's "
+                                 "unreachable choices 8-12 (in-plane translate, "
+                                 "single-axis z/x/y rotations, gamma imadjust; "
+                                 "reference utils/NiftiDataset.py:1243-1300)")
         parser.add_argument("--remat", action="store_true",
                             help="rematerialize generator activations in the "
                                  "backward pass (jax.checkpoint with "

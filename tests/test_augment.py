@@ -143,6 +143,53 @@ def test_rotation_magnitude_distribution():
     assert big_rotation_seen
 
 
+def test_imadjust_gamma():
+    from mra_gan_tpu.data.augment import imadjust
+
+    x = _vol(5)
+    # gamma=1 is the identity remap onto [lo, hi] = own range
+    y1 = np.asarray(imadjust(x, 1.0))
+    np.testing.assert_allclose(y1, np.asarray(x), rtol=1e-5, atol=1e-4)
+    # gamma=2 is monotone, keeps the endpoints, darkens the midtones
+    y2 = np.asarray(imadjust(x, 2.0))
+    assert np.isclose(y2.min(), float(x.min()), atol=1e-3)
+    assert np.isclose(y2.max(), float(x.max()), atol=1e-3)
+    flat_x = np.asarray(x).ravel()
+    order = np.argsort(flat_x)
+    assert (np.diff(y2.ravel()[order]) >= -1e-4).all()  # monotone
+    mid = (flat_x > np.percentile(flat_x, 30)) & (flat_x < np.percentile(flat_x, 70))
+    assert (y2.ravel()[mid] < flat_x[mid]).mean() > 0.95
+
+
+def test_extended_policy_reaches_unreachable_choices():
+    """extended=True enables the reference's dead choices 8-12 (reference
+    utils/NiftiDataset.py:1243-1300): over many keys the 13-way draw must
+    produce outcomes the 8-way policy cannot (same key, different result)."""
+    x = _vol(1)
+    lbl = _vol(2)
+    base = jax.jit(lambda a, b, k: random_augment(a, b, k))
+    ext = jax.jit(lambda a, b, k: random_augment(a, b, k, extended=True))
+    diverged = 0
+    image_only_change = False  # the imadjust signature: image moves, label not
+    for i in range(40):
+        k = jax.random.PRNGKey(500 + i)
+        bi, bl = base(x, lbl, k)
+        ei, el = ext(x, lbl, k)
+        if not (np.allclose(np.asarray(bi), np.asarray(ei))
+                and np.allclose(np.asarray(bl), np.asarray(el))):
+            diverged += 1
+        if (np.allclose(np.asarray(el), np.asarray(lbl))
+                and not np.allclose(np.asarray(ei), np.asarray(x))
+                and np.asarray(ei).std() > 0):
+            image_only_change = True
+        assert ei.shape == x.shape and el.shape == lbl.shape
+        assert np.isfinite(np.asarray(ei)).all()
+    # 13-way vs 8-way draws disagree for ~60% of keys; 40 keys make a
+    # false-pass astronomically unlikely
+    assert diverged >= 5
+    assert image_only_change
+
+
 def test_augment_batch_jitted():
     imgs = jnp.stack([_vol(i)[..., None] for i in range(3)])
     lbls = jnp.stack([_vol(10 + i)[..., None] for i in range(3)])

@@ -243,7 +243,9 @@ def main(argv=None):
                 # legacy patches live in [-1,1] (the reference's 0-255 scale
                 # mapped); monai images are z-scored, so derive per sample
                 vr = (-1.0, 1.0) if opt.pipeline == "legacy" else None
-                a, b = augment_batch(a, b, aug_rng, value_range=vr)
+                a, b = augment_batch(a, b, aug_rng, value_range=vr,
+                                     extended=getattr(opt, "augment_extended",
+                                                      False))
             state, metrics = step(state, a, b, step_rng, lr)
             total_steps += opt.batch_size
             epoch_iter += opt.batch_size
