@@ -50,6 +50,18 @@ def spatial_sharding(axis_name: str, n_devices: int,
         _DP_CTX.reset(tok2)
 
 
+@contextlib.contextmanager
+def data_sharding(axis_name: str, n_devices: int):
+    """Batch-only shard context (pure-DP shard_map step): loss reductions
+    pmean across the batch axis and the train step psums grads / gathers
+    pool fakes; conv/norm stay single-device (per-sample semantics)."""
+    tok = _DP_CTX.set((str(axis_name), int(n_devices)))
+    try:
+        yield
+    finally:
+        _DP_CTX.reset(tok)
+
+
 _DP_BATCH_HINT: contextvars.ContextVar = contextvars.ContextVar(
     "mra_dp_batch_hint", default=1)
 

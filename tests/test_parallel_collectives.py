@@ -8,8 +8,9 @@ into per-device divergence, a halo exchange becoming a full-volume
 gather) fails loudly instead of shipping as a 10x ICI bill.
 
 The asserted budgets mirror docs/DESIGN.md §6.1's arithmetic:
-- DP: gradients (= param count) dominate the all-reduce volume; the
-  pool's per-device-fake gathers are the only batch-sized transfers.
+- DP (shard_map, the default): the explicit base-tree psum all-reduces
+  exactly the trainable gradients; the pool's fake gathers are the only
+  batch-sized transfers; no partitioner resharding ops at all.
 - SP: collective-permute volume tracks the analytic conv-halo model
   (boundary planes per conv per G application) within tens of percent.
 """
@@ -65,34 +66,31 @@ def test_dp_step_collective_inventory():
     n_params = _n_params(state)
     batch_elems = int(np.prod(a.shape))
 
-    # The gradient all-reduce must exist and cover every parameter. Measured
-    # structure (r4): XLA hoists the reduce ABOVE the one-hot cell-domain
-    # weight contraction (ops/s2d.py remaps), so the combined all-reduce
-    # carries the EXPANDED dW tensors — ~20x the param elements at this
-    # config (3,940,830 vs 194,780). Correct (the contraction is linear and
-    # commutes with psum) but byte-inflated; docs/DESIGN.md §6.1 quantifies
-    # it at production scale. The window pins both directions: a collapse
-    # below n_params means gradients stopped being reduced (silent DP
-    # divergence); a blow-up past 25x means a new activation-sized tensor
-    # joined the reduce.
+    # The shard_map DP step psums the BASE gradient tree explicitly, so the
+    # all-reduce volume is exactly the trainable params minus the
+    # stop_gradient'd norm-dead conv biases, plus a few scalar metric
+    # pmeans (measured r4: 194,352 vs 194,780 params — the jit-GSPMD
+    # fallback used to all-reduce the EXPANDED one-hot dW instead,
+    # 3,940,830 elems / 20x, docs/DESIGN.md §6.1). A collapse below 0.9x
+    # means gradients stopped being reduced (silent DP divergence); growth
+    # past 1.1x means something activation-sized joined the reduce.
     ar = sum(coll.get("all-reduce", []))
-    assert n_params <= ar <= 25 * n_params, (
-        f"all-reduce volume {ar} outside [1, 25] x params ({n_params}) — "
+    assert 0.9 * n_params <= ar <= 1.1 * n_params, (
+        f"all-reduce volume {ar} outside [0.9, 1.1] x params ({n_params}) — "
         f"inventory: { {k: (len(v), sum(v)) for k, v in coll.items()} }")
 
-    # all-gathers are the pool's fake gathers: batch-sized, not param-sized.
+    # all-gathers are exactly the pool's fake gathers (fake_A + fake_B, one
+    # global batch each); nothing else may be gathered.
     ag = sum(coll.get("all-gather", []))
-    assert ag <= 4 * batch_elems + n_params, (
-        f"all-gather volume {ag} exceeds the pool-gather budget — "
+    assert 0 < ag <= 2 * batch_elems, (
+        f"all-gather volume {ag} != pool-fake budget (2 x {batch_elems}) — "
         "an activation or parameter tree is being gathered")
 
-    # Residual resharding ops stay far below volume scale.
-    misc = sum(coll.get("all-to-all", [])) + sum(
-        coll.get("collective-permute", []))
-    assert misc <= 8 * batch_elems, (
-        f"all-to-all + collective-permute volume {misc} exceeds "
-        f"{8 * batch_elems} — the partitioner introduced a volume-sized "
-        "resharding")
+    # Explicit shard_map collectives only — the partitioner must not add
+    # resharding traffic.
+    assert "all-to-all" not in coll and "collective-permute" not in coll, (
+        f"unexpected resharding ops: "
+        f"{ {k: (len(v), sum(v)) for k, v in coll.items()} }")
 
 
 def _resnet6_halo_elems(patch, ngf):
