@@ -113,10 +113,20 @@ class CycleGANConfig:
         conv/pad path instead."""
         from ..core.spatial_ctx import spatial_shard_info
 
-        return (self.net_g in ("resnet_6blocks", "resnet_9blocks")
-                and self.norm == "instance"
-                and all(int(s) % 4 == 0 for s in spatial)
-                and spatial_shard_info() is None)
+        if spatial_shard_info() is not None:
+            return False
+        if not all(int(s) % 4 == 0 for s in spatial):
+            return False
+        if self.net_g in ("resnet_6blocks", "resnet_9blocks"):
+            return self.norm == "instance"
+        if self.net_g == "Dynet":
+            # Dynet's norms are its own affine instance norms (cfg.norm is
+            # not consulted); cells need a cell-compatible auto-schedule.
+            from .networks import DynUNet3D
+
+            return DynUNet3D.schedule_supports_cells(
+                tuple(self.dynet_sizes), tuple(self.dynet_spacings))
+        return False
 
 
 class PoolState(flax.struct.PyTreeNode):

@@ -116,6 +116,11 @@ class Conv3D(nn.Module):
     # XLA otherwise emits for the 100-MB activation cotangents (measured
     # ~5 ms/step at the reference workload).
     dead_bias: bool = False
+    # The cell-domain input is a LANE concatenation of separate cell tensors
+    # with these true-channel counts (a skip concat kept in cells, e.g.
+    # DynUNet's decoder): the weight remap is applied per block
+    # (ops/s2d.py conv3d_s2d_cells ci_split).
+    ci_split: Any = ()
 
     @nn.compact
     def __call__(self, x):
@@ -195,11 +200,31 @@ class Conv3D(nn.Module):
             s = _canon(self.stride)
             p = self.padding
             if self.cells_in:
-                assert s == (2, 2, 2) and isinstance(p, int), (
-                    "cells_in without same_edge_pad supports stride-2 convs only")
+                if not isinstance(p, int):
+                    # per-axis (lo,hi) pairs (the MONAI blocks); the cell
+                    # forms need one symmetric uniform value
+                    pp = [tuple(int(v) for v in q)
+                          if isinstance(q, (tuple, list)) else (int(q), int(q))
+                          for q in p]
+                    assert all(a == b for a, b in pp) and len(set(pp)) == 1, pp
+                    p = pp[0][0]
                 xcc = (regroup_cells(xc, self.cells_in, 2, cin)
                        if self.cells_in != 2 else xc)
-                y = conv3d_stride2_cells(xcc, kc, p)
+                if s == (1, 1, 1):
+                    # zero-padded 'same' conv in the f2 cell domain (the
+                    # MONAI blocks' stride-1 convs; zero pad = MONAI's)
+                    assert (k[0] == k[1] == k[2] and k[0] % 2 == 1
+                            and p == (k[0] - 1) // 2), (k, p)
+                    y = conv3d_s2d_cells(xcc, kc, f=2, pad_mode="zero",
+                                         d2s=(self.cells_out == 0),
+                                         ci_split=tuple(self.ci_split))
+                    if self.cells_out not in (0, 2):
+                        y = regroup_cells(y, 2, self.cells_out, self.features)
+                else:
+                    assert s == (2, 2, 2), (
+                        "cells_in without same_edge_pad supports stride-1 "
+                        "'same' or stride-2 convs only")
+                    y = conv3d_stride2_cells(xcc, kc, p)
             # stride-2 convs with skinny input channels (the PatchGAN's and
             # U-Net's first layers, cin=1) take the exact S2D(2) path: the
             # conv becomes stride-1 with 8*cin channels (ops/s2d.py).
@@ -299,6 +324,15 @@ class ConvTranspose3D(nn.Module):
             # true in -> f4 cells out as one stride-2 blocked subpixel conv
             y = conv_transpose3d_subpixel_f4(xc, kc, p[0], op[0])
             tile = 64
+        elif blocked_ok and self.cells_out == 2:
+            # kernel==stride==2: the blocked conv's pre-interleave output IS
+            # the S2D(2) cell layout of the doubled grid — skip the
+            # interleave entirely (DynUNet's decoder in cell domain).
+            # Checked before the generic subpixel branch: k=s=2, p=op=0 is
+            # also subpixel_ok, but the blocked form needs no padding/remap.
+            assert s == (2, 2, 2), s
+            y = conv_transpose3d_blocked(xc, kc, cells_out=True)
+            tile = 8
         elif subpixel_ok:
             y = conv_transpose3d_subpixel(xc, kc, p[0], op[0],
                                           d2s=(self.cells_out == 0))
@@ -626,82 +660,126 @@ def _monai_pad(kernel, stride) -> list:
 class _AffineIN(nn.Module):
     """torch InstanceNorm3d(affine=True) — MONAI's norm for DynUNet blocks
     (norm_name=("INSTANCE", {"affine": True}), track_running_stats=False,
-    so the state dict carries exactly weight+bias)."""
+    so the state dict carries exactly weight+bias).
+
+    ``groups`` > 1: the input is a cell-domain tensor with that many lanes
+    per true channel (lane order (parity, c)); stats come from the grouped
+    reduction (numerically identical, full-lane tiles) and the affine is the
+    parity-tiled scale/bias."""
+
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1]
+        c = x.shape[-1] // self.groups
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return instance_norm(x, scale=scale, bias=bias)
+        if self.groups == 1:
+            return instance_norm(x, scale=scale, bias=bias)
+        z = instance_norm_act_grouped(x, self.groups)
+        return (z * jnp.tile(scale, self.groups).astype(z.dtype)
+                + jnp.tile(bias, self.groups).astype(z.dtype))
 
 
 class _MonaiResBlock(nn.Module):
     """MONAI UnetResBlock (monai dynunet_block.py): conv1(k,s)-norm1-lrelu-
     conv2(k,1)-norm2, shortcut conv3(1,s)+norm3 when channels or stride
-    change, then add + lrelu(0.01). Convs bias-free, norms affine."""
+    change, then add + lrelu(0.01). Convs bias-free, norms affine.
+
+    ``cells_in=2``: consume an S2D(2) cell-domain input. With stride 1 the
+    whole block runs in cells (output stays in cells); with stride (2,2,2)
+    the strided convs consume cells and the block emits true layout —
+    exactly the resnet stem/down1 pattern (ops/s2d.py). Parameters are
+    identical in all modes (remaps are weight-side)."""
 
     features: int
     kernel: Sequence[int]
     stride: Sequence[int]
     kernel_init: Callable = None
     dtype: Dtype = jnp.float32
+    cells_in: int = 0
 
     @nn.compact
     def __call__(self, x):
+        s = _canon(self.stride)
+        in_cells = cout_cells = 0
+        if self.cells_in:
+            in_cells = self.cells_in
+            cout_cells = 2 if s == (1, 1, 1) else 0
+        true_cin = x.shape[-1] // (in_cells ** 3 if in_cells else 1)
+        groups = 8 if cout_cells else 1
         h = Conv3D(self.features, self.kernel, stride=self.stride,
                    padding=_monai_pad(self.kernel, self.stride),
                    use_bias=False, kernel_init=self.kernel_init,
-                   dtype=self.dtype, name="conv1")(x)
-        h = _AffineIN(name="norm1")(h)
+                   dtype=self.dtype, cells_in=in_cells,
+                   cells_out=cout_cells, name="conv1")(x)
+        h = _AffineIN(groups=groups, name="norm1")(h)
         h = jax.nn.leaky_relu(h, 0.01)
         h = Conv3D(self.features, self.kernel,
                    padding=_monai_pad(self.kernel, 1), use_bias=False,
                    kernel_init=self.kernel_init, dtype=self.dtype,
+                   cells_in=cout_cells, cells_out=cout_cells,
                    name="conv2")(h)
-        h = _AffineIN(name="norm2")(h)
-        if x.shape[-1] != self.features or any(s != 1 for s in _canon(self.stride)):
+        h = _AffineIN(groups=groups, name="norm2")(h)
+        if true_cin != self.features or any(v != 1 for v in s):
             x = Conv3D(self.features, 1, stride=self.stride, use_bias=False,
                        kernel_init=self.kernel_init, dtype=self.dtype,
+                       cells_in=in_cells, cells_out=cout_cells,
                        name="conv3")(x)
-            x = _AffineIN(name="norm3")(x)
+            x = _AffineIN(groups=groups, name="norm3")(x)
         return jax.nn.leaky_relu(x + h, 0.01)
 
 
 class _MonaiBasicBlock(nn.Module):
     """MONAI UnetBasicBlock: conv1(k,1)-norm1-lrelu-conv2(k,1)-norm2-lrelu,
-    no residual — the decoder block DynUNet uses even with res_block=True."""
+    no residual — the decoder block DynUNet uses even with res_block=True.
+
+    ``cells=2``: the block runs in the S2D(2) cell domain; ``ci_split``
+    marks the input as a LANE concatenation of separate cell tensors with
+    these true-channel counts (the decoder concat kept in cells)."""
 
     features: int
     kernel: Sequence[int]
     kernel_init: Callable = None
     dtype: Dtype = jnp.float32
+    cells: int = 0
+    ci_split: Any = ()
 
     @nn.compact
     def __call__(self, x):
+        groups = self.cells ** 3 if self.cells else 1
         h = Conv3D(self.features, self.kernel,
                    padding=_monai_pad(self.kernel, 1), use_bias=False,
                    kernel_init=self.kernel_init, dtype=self.dtype,
-                   name="conv1")(x)
-        h = jax.nn.leaky_relu(_AffineIN(name="norm1")(h), 0.01)
+                   cells_in=self.cells, cells_out=self.cells,
+                   ci_split=tuple(self.ci_split), name="conv1")(x)
+        h = jax.nn.leaky_relu(_AffineIN(groups=groups, name="norm1")(h), 0.01)
         h = Conv3D(self.features, self.kernel,
                    padding=_monai_pad(self.kernel, 1), use_bias=False,
                    kernel_init=self.kernel_init, dtype=self.dtype,
+                   cells_in=self.cells, cells_out=self.cells,
                    name="conv2")(h)
-        return jax.nn.leaky_relu(_AffineIN(name="norm2")(h), 0.01)
+        return jax.nn.leaky_relu(_AffineIN(groups=groups, name="norm2")(h), 0.01)
 
 
 class _MonaiUpBlock(nn.Module):
     """MONAI UnetUpBlock: transposed conv (kernel = stride =
     upsample_kernel_size, bias-free, no norm) -> cat(up, skip) -> basic
     block. Concat order is (upsampled, skip) — channel order matters for
-    weight-level parity."""
+    weight-level parity.
+
+    ``cells_out=2`` (stride (2,2,2) only): the upsampler emits its
+    pre-interleave S2D(2) cells directly, the skip must already be in f2
+    cells, and the concat is a lane concat consumed by the conv block's
+    block-split weight remap — the full-resolution decoder level never
+    touches true layout."""
 
     features: int
     kernel: Sequence[int]
     up_stride: Sequence[int]
     kernel_init: Callable = None
     dtype: Dtype = jnp.float32
+    cells_out: int = 0
 
     @nn.compact
     def __call__(self, h, skip):
@@ -709,8 +787,16 @@ class _MonaiUpBlock(nn.Module):
                              stride=self.up_stride, padding=0,
                              output_padding=0, use_bias=False,
                              kernel_init=self.kernel_init, dtype=self.dtype,
+                             cells_out=self.cells_out,
                              name="transp_conv")(h)
         cat = jnp.concatenate([up, skip.astype(up.dtype)], axis=-1)
+        if self.cells_out:
+            skip_c = skip.shape[-1] // self.cells_out ** 3
+            return _MonaiBasicBlock(self.features, self.kernel,
+                                    self.kernel_init, self.dtype,
+                                    cells=self.cells_out,
+                                    ci_split=(self.features, skip_c),
+                                    name="conv_block")(cat)
         return _MonaiBasicBlock(self.features, self.kernel, self.kernel_init,
                                 self.dtype, name="conv_block")(cat)
 
@@ -731,19 +817,56 @@ class DynUNet3D(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    cells_io: bool = False
+
+    @staticmethod
+    def schedule_supports_cells(sizes, spacings) -> bool:
+        """Whether the auto-schedule's full-resolution level fits the cell
+        forms: cubic 3^3 kernels at levels 0/1 and an isotropic first
+        downsample (true for the reference default (128,128,64)@1.5^3;
+        anisotropic spacings can give per-axis kernels/strides the cell
+        remaps don't cover)."""
+        kernels, strides = dynunet_schedule(sizes, spacings)
+        return (len(kernels) >= 3
+                and list(kernels[0]) == [3, 3, 3]
+                and list(kernels[1]) == [3, 3, 3]
+                and list(strides[1]) == [2, 2, 2])
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        from ..core.spatial_ctx import spatial_shard_info
+
         ki = get_initializer(self.init_type, self.init_gain)
         kernels, strides = dynunet_schedule(self.sizes, self.spacings)
         n = len(kernels)
         filters = [min(32 * 2 ** i, 320) for i in range(n)]
+        # Full-resolution segments (input_block, the last upsample's
+        # conv_block, output_block — ~half the net's FLOPs at C=32/64) run
+        # in the S2D(2) cell domain, the same lever that took the resnet
+        # 127 -> ~75 ms/step: cell convs via weight remaps, grouped-lane
+        # affine norms, the k=s=2 upsampler emitting its pre-interleave
+        # cells, and a lane-concat skip consumed by a block-split remap.
+        true_spatial = [int(s) * (4 if self.cells_io else 1)
+                        for s in x.shape[1:4]]
+        cells = (self.schedule_supports_cells(self.sizes, self.spacings)
+                 and all(s % (4 if self.cells_io else 2) == 0
+                         for s in true_spatial)
+                 and spatial_shard_info() is None)
+        assert cells or not self.cells_io, (
+            "cells_io needs a cell-compatible schedule and spatial dims "
+            "divisible by 4")
+        h = x
+        if cells:
+            h = (regroup_cells(h, 4, 2, x.shape[-1] // 64) if self.cells_io
+                 else space_to_depth(h, 2))
+        c2 = 2 if cells else 0
         h = _MonaiResBlock(filters[0], kernels[0], strides[0], ki,
-                           self.dtype, name="input_block")(x)
-        skips = [h]
+                           self.dtype, cells_in=c2, name="input_block")(h)
+        skips = [h]  # in f2 cells when `cells` (consumed cell-wise below)
         for i in range(1, n - 1):
             h = _MonaiResBlock(filters[i], kernels[i], strides[i], ki,
-                               self.dtype, name=f"downsamples_{i - 1}")(h)
+                               self.dtype, cells_in=(c2 if i == 1 else 0),
+                               name=f"downsamples_{i - 1}")(h)
             skips.append(h)
         h = _MonaiResBlock(filters[n - 1], kernels[n - 1], strides[n - 1],
                            ki, self.dtype, name="bottleneck")(h)
@@ -752,9 +875,13 @@ class DynUNet3D(nn.Module):
         # upsample stride strides[i+1] (MONAI get_upsamples)
         for j, i in enumerate(range(n - 2, -1, -1)):
             h = _MonaiUpBlock(filters[i], kernels[i + 1], strides[i + 1],
-                              ki, self.dtype, name=f"upsamples_{j}")(h, skips[i])
+                              ki, self.dtype,
+                              cells_out=(c2 if i == 0 else 0),
+                              name=f"upsamples_{j}")(h, skips[i])
         h = Conv3D(self.output_nc, 1, use_bias=True, kernel_init=ki,
-                   dtype=self.dtype, name="output_block")(h)
+                   dtype=self.dtype, cells_in=c2,
+                   cells_out=(4 if self.cells_io else 0),
+                   name="output_block")(h)
         return jnp.tanh(h)
 
 

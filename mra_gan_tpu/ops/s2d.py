@@ -192,11 +192,20 @@ _skinny_cell_conv.defvjp(_scc_fwd, _scc_bwd)
 
 
 def conv3d_s2d_cells(xc: jax.Array, w: jax.Array, f: int = 4,
-                     pad_mode: str = "edge", d2s: bool = True) -> jax.Array:
+                     pad_mode: str = "edge", d2s: bool = True,
+                     ci_split: Tuple[int, ...] = ()) -> jax.Array:
     """conv3d_s2d on an input ALREADY in cell domain; optionally keep the
     output in cell domain (``d2s=False``) so downstream elementwise/norm ops
     run with full 128-lane tiles instead of lane-padded skinny channels.
-    xc: (N, D/f, H/f, W/f, f^3*ci); w: (k,k,k,ci,co) in the reference layout."""
+    xc: (N, D/f, H/f, W/f, f^3*ci); w: (k,k,k,ci,co) in the reference layout.
+
+    ``ci_split``: the input is a LANE concatenation of separate cell-domain
+    tensors (cells(a) ++ cells(b), lanes (parity, c) per block) — e.g. a
+    U-Net skip concat kept in cells — with these true-channel counts. The
+    weight remap is separable over input-channel blocks, so the conv over
+    the permuted concat equals one VALID conv with the per-block remaps
+    concatenated along the input-lane axis. Zero padding only (edge-pad
+    needs per-block true channels)."""
     k = w.shape[0]
     half = (k - 1) // 2
     ci = w.shape[3]
@@ -204,12 +213,21 @@ def conv3d_s2d_cells(xc: jax.Array, w: jax.Array, f: int = 4,
     # of W' (taps outside [0,k)) — exactness preserved.
     pad = f * int(np.ceil(half / f))
     if pad_mode == "edge":
+        assert not ci_split, "ci_split supports zero padding only"
         xp = edge_pad_cells(xc, f, pad // f, ci)
     else:
         xp = zero_pad_cells(xc, pad // f)
     shift = pad - half  # folded into the tap index (see conv3d_s2d)
     wz = jnp.pad(w, ((shift, 0),) * 3 + ((0, 0), (0, 0))) if shift else w
-    wp = remap_weight_s2d(wz, f)
+    if ci_split:
+        assert sum(ci_split) == ci, (ci_split, ci)
+        parts, off = [], 0
+        for cb in ci_split:
+            parts.append(remap_weight_s2d(wz[..., off:off + cb, :], f))
+            off += cb
+        wp = jnp.concatenate(parts, axis=3)
+    else:
+        wp = remap_weight_s2d(wz, f)
     out_cells = xp.shape[1] - wp.shape[0] + 1
     if (f == 2 and xp.shape[-1] <= 16 and wp.shape[0] % 2 == 1
             and out_cells % 2 == 0):

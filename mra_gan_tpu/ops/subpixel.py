@@ -170,7 +170,8 @@ def conv_transpose3d_subpixel_f4(x: jax.Array, w: jax.Array,
     return out
 
 
-def conv_transpose3d_blocked(x: jax.Array, w: jax.Array) -> jax.Array:
+def conv_transpose3d_blocked(x: jax.Array, w: jax.Array,
+                             cells_out: bool = False) -> jax.Array:
     """Exact torch ConvTranspose3d for the kernel==stride, padding=0,
     output_padding=0 case (MONAI DynUNet's UnetUpBlock upsampler,
     reference models/networks3D.py:365-375 via monai UnetUpBlock), with
@@ -184,6 +185,11 @@ def conv_transpose3d_blocked(x: jax.Array, w: jax.Array) -> jax.Array:
     axis (parallel/spatial.py) and MXU-friendly everywhere.
 
     x: (N,D,H,W,ci); w: (sd,sh,sw,ci,co) -> (N, D*sd, H*sh, W*sw, co).
+
+    ``cells_out=True`` (stride (2,2,2) only) skips the interleave and returns
+    the pre-interleave tensor (N,D,H,W,8*co): its parity-major lane order
+    ((i*sh+j)*sw+l)*co+c is exactly the S2D(2) cell convention of the doubled
+    grid, so cell-domain consumers (ops/s2d.py) take it with zero relayout.
     """
     sd, sh, sw, ci, co = w.shape
     # (sd,sh,sw,ci,co) -> (1,1,1, ci, sd*sh*sw*co), lane = ((i*sh+j)*sw+l)*co+c
@@ -192,6 +198,9 @@ def conv_transpose3d_blocked(x: jax.Array, w: jax.Array) -> jax.Array:
         x, wp, (1, 1, 1), [(0, 0)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=x.dtype)
+    if cells_out:
+        assert (sd, sh, sw) == (2, 2, 2), (sd, sh, sw)
+        return y
     n, d, h, wd, _ = y.shape
     y = y.reshape(n, d, h, wd, sd, sh, sw, co)
     y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
