@@ -48,6 +48,12 @@ class TestOptions(BaseOptions):
         parser.add_argument("--blend", type=str, default="gaussian",
                             choices=["gaussian", "uniform"],
                             help="patch overlap blending window")
+        parser.add_argument("--decode_batch", type=int, default=8,
+                            help="patches decoded per generator call in the "
+                                 "sliding-window path (exact math at any "
+                                 "value — only amortization changes; 8 "
+                                 "matches bench.py; lower it if a large "
+                                 "patch size overflows HBM)")
         parser.add_argument("--wire", type=str, default="exact",
                             choices=["exact", "f32", "f16"],
                             help="host<->device wire precision for the "

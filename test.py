@@ -56,16 +56,23 @@ def load_generator(opt):
     return cfg, gen_fn, params, net
 
 
-def inference(opt, loaded=None):
+def inference(opt, loaded=None, img=None, save_pool=None, save_futures=None):
     # `loaded` lets batch (directory) mode restore the checkpoint and build
     # gen_fn ONCE — the decode-program cache keys on id(gen_fn), so reusing
-    # it is what makes same-geometry volumes decode without re-tracing
+    # it is what makes same-geometry volumes decode without re-tracing.
+    # `img` is an optional pre-loaded NiftiImage (directory mode prefetches
+    # the next volume's read on a thread while the current one decodes);
+    # `save_pool`/`save_futures` likewise move the output write (~1.4 s of
+    # host gzip per .nii.gz volume — longer than the decode) off the
+    # critical path: the (result path, Future) pairs land in save_futures
+    # and the caller drains them.
     cfg, gen_fn, params, net = loaded if loaded is not None else load_generator(opt)
     patch = tuple(int(p) for p in opt.patch_size)
 
     # --- read + preprocess (legacy convention: 0-255 then [-1,1],
     #     reference test.py:56,152) ---
-    img = nifti.load(opt.image)
+    if img is None:
+        img = nifti.load(opt.image)
     original = img
     data = rescale_0_255(img.data)
     work = nifti.NiftiImage(data=data, affine=img.affine)
@@ -142,6 +149,7 @@ def inference(opt, loaded=None):
             stride_inplane=opt.stride_inplane,
             stride_layer=opt.stride_layer,
             blend=opt.blend,
+            batch=getattr(opt, "decode_batch", 8),
             transfer_dtype=wire[0],
             input_transfer_dtype=wire[1],
         )
@@ -156,11 +164,16 @@ def inference(opt, loaded=None):
     out = out[fronts[0]: fronts[0] + pre_pad_shape[0],
               fronts[1]: fronts[1] + pre_pad_shape[1],
               fronts[2]: fronts[2] + pre_pad_shape[2]]
-    result = nifti.NiftiImage(data=out.astype(np.float32), affine=work.affine)
+    result = nifti.NiftiImage(data=np.asarray(out, np.float32),
+                              affine=work.affine)
     if opt.resample:
         result = resample_to_reference(result, original, "bspline")
-    nifti.save(result, opt.result)
-    print(f"wrote {opt.result}")
+    if save_pool is not None:
+        save_futures.append((opt.result,
+                             save_pool.submit(nifti.save, result, opt.result)))
+    else:
+        nifti.save(result, opt.result)
+        print(f"wrote {opt.result}")
     return result
 
 
@@ -183,21 +196,46 @@ def main(argv=None):
         if not files:
             raise SystemExit(f"no .nii/.nii.gz files in {img_path}")
         import argparse
+        from concurrent.futures import ThreadPoolExecutor
 
         loaded = load_generator(opt)
         failed = []
-        for p in files:
-            sub = argparse.Namespace(**vars(opt))
-            sub.image = str(p)
-            sub.result = str(out_dir / p.name)
-            try:
-                inference(sub, loaded)
-            except RuntimeError as e:
-                # per-volume decode failure (e.g. the single-pass HBM
-                # preflight refusing an over-limit geometry) — the rest of
-                # the directory can still decode
-                print(f"SKIPPED {p.name}: {e}")
-                failed.append(p.name)
+        # Two IO threads overlap the host legs with the device decode: one
+        # prefetches the NEXT volume's read while the current one decodes,
+        # the other drains output writes (gzip of a 256^2x128 .nii.gz costs
+        # ~1.4 s host-side — more than the decode itself, so serial IO more
+        # than halves directory throughput). nifti's gzip/numpy work releases
+        # the GIL for its bulk, so the threads genuinely run beside the
+        # decode's host loop.
+        with ThreadPoolExecutor(max_workers=2) as io_pool:
+            save_futures = []
+            next_img, next_idx = io_pool.submit(nifti.load, str(files[0])), 0
+            for i, p in enumerate(files):
+                sub = argparse.Namespace(**vars(opt))
+                sub.image = str(p)
+                sub.result = str(out_dir / p.name)
+                try:
+                    img = (next_img.result() if next_idx == i
+                           else nifti.load(str(p)))
+                    if i + 1 < len(files):
+                        next_img = io_pool.submit(nifti.load,
+                                                  str(files[i + 1]))
+                        next_idx = i + 1
+                    inference(sub, loaded, img=img, save_pool=io_pool,
+                              save_futures=save_futures)
+                except RuntimeError as e:
+                    # per-volume decode failure (e.g. the single-pass HBM
+                    # preflight refusing an over-limit geometry) — the rest
+                    # of the directory can still decode
+                    print(f"SKIPPED {p.name}: {e}")
+                    failed.append(p.name)
+            for res_path, fut in save_futures:
+                try:
+                    fut.result()
+                    print(f"wrote {res_path}")
+                except Exception as e:
+                    print(f"FAILED WRITE {res_path}: {e}")
+                    failed.append(Path(res_path).name)
         if failed:
             print(f"{len(failed)}/{len(files)} volumes skipped: "
                   + ", ".join(failed))
