@@ -18,7 +18,7 @@ import numpy as np
 
 from mra_gan_tpu.data import nifti
 from mra_gan_tpu.data.transforms import resample_to_reference
-from mra_gan_tpu.utils.metrics import mae, pearson_r, psnr, ssim3d
+from mra_gan_tpu.utils.metrics import volume_metrics
 
 
 def _evaluate_pair(pred_path, targ_path, mask_fg: bool) -> dict:
@@ -28,17 +28,14 @@ def _evaluate_pair(pred_path, targ_path, mask_fg: bool) -> dict:
         pred = resample_to_reference(pred, targ)
     a = pred.data.astype(np.float32)
     b = targ.data.astype(np.float32)
-    if mask_fg:
-        m = b > 0
-        a_m, b_m = a[m], b[m]
-    else:
-        a_m, b_m = a, b
-    return {
-        "ssim": float(ssim3d(a, b)),
-        "psnr": float(psnr(a_m, b_m)),
-        "mae": float(mae(a_m, b_m)),
-        "pearson_r": float(pearson_r(a_m, b_m)),
-    }
+    # ONE compiled program per pair (same-shape directories reuse it) —
+    # the previous eager per-metric calls dispatched each op separately and
+    # recompiled op-by-op on the first pair (~14 s vs ~0.3 s warm, measured
+    # on 256x256x128). --mask-fg restricts the intensity metrics to the
+    # b>0 foreground via the weighted-sum forms (jit-safe dynamic masks).
+    out = volume_metrics(a, b, mask=(b > 0) if mask_fg else None,
+                         use_mask=mask_fg)
+    return {k: float(v) for k, v in out.items()}
 
 
 def main(argv=None):
@@ -51,6 +48,11 @@ def main(argv=None):
     p.add_argument("--mask-fg", action="store_true",
                    help="restrict intensity metrics to target>0 foreground")
     args = p.parse_args(argv)
+    # persistent XLA compile cache like the other CLIs: the fused metrics
+    # program costs ~43 s to compile over the tunnel on first use
+    from mra_gan_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     pred_path, targ_path = Path(args.pred), Path(args.target)
     if pred_path.is_dir():

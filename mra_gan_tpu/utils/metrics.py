@@ -51,9 +51,56 @@ def _uniform_filter3d(x, win: int):
     return y[0, 0]
 
 
+@partial(jax.jit, static_argnames=("use_mask",))
+def volume_metrics(a, b, mask=None, *, use_mask: bool = False):
+    """All four volume metrics as ONE compiled program.
+
+    evaluate.py calls this instead of the four eager functions above: eager
+    jnp dispatches each op separately (a one-off dispatch costs 1.5-3.5 ms
+    over the tunneled backend, and the first call compiles each op chain —
+    ~14 s for the four metrics on a 256x256x128 pair, measured), while the
+    fused bundle uploads each volume once and runs one executable
+    (~0.3 s/pair warm).
+
+    ``use_mask``: restrict the intensity metrics (PSNR/MAE/Pearson) to
+    ``mask`` — the weighted-sum equivalent of the boolean-indexed
+    ``a[mask]`` forms (which cannot jit: dynamic shapes). SSIM is always
+    computed over the full volumes, matching evaluate.py's eager semantics.
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if use_mask:
+        w = mask.astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(w), 1.0)
+        wmean = lambda x: jnp.sum(x * w) / n  # noqa: E731
+        bmax = jnp.max(jnp.where(w > 0, b, -jnp.inf))
+        bmin = jnp.min(jnp.where(w > 0, b, jnp.inf))
+    else:
+        wmean = jnp.mean
+        bmax, bmin = jnp.max(b), jnp.min(b)
+    d = a - b
+    mae_v = wmean(jnp.abs(d))
+    mse_v = wmean(d * d)
+    data_range = jnp.maximum(bmax - bmin, 1e-8)
+    psnr_v = 10.0 * jnp.log10(data_range ** 2 / jnp.maximum(mse_v, 1e-20))
+    ac = a - wmean(a)
+    bc = b - wmean(b)
+    if use_mask:
+        ac, bc = ac * w, bc * w  # zero non-mask terms out of the sums
+    r_v = jnp.sum(ac * bc) / jnp.maximum(
+        jnp.sqrt(jnp.sum(ac * ac)) * jnp.sqrt(jnp.sum(bc * bc)), 1e-12)
+    return {"ssim": _ssim3d(a, b, None, 7), "psnr": psnr_v,
+            "mae": mae_v, "pearson_r": r_v}
+
+
 @partial(jax.jit, static_argnames=("win",))
 def ssim3d(a, b, data_range: float | None = None, win: int = 7):
     """Mean SSIM over a 3D volume with a win^3 uniform window."""
+    return _ssim3d(a, b, data_range, win)
+
+
+def _ssim3d(a, b, data_range, win):
+    # raw (traceable) implementation, shared by ssim3d and volume_metrics
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     if data_range is None:

@@ -38,3 +38,33 @@ def test_ssim_matches_skimage():
     want = skimage.structural_similarity(x, y, win_size=7, data_range=float(x.max() - x.min()))
     got = float(ssim3d(jnp.asarray(y), jnp.asarray(x), data_range=float(x.max() - x.min())))
     assert got == pytest.approx(want, abs=0.02)
+
+
+def test_volume_metrics_bundle_matches_eager():
+    """volume_metrics (the fused one-program bundle evaluate.py uses) equals
+    the individual eager metrics, including the --mask-fg weighted forms vs
+    the boolean-indexed originals."""
+    from mra_gan_tpu.utils.metrics import volume_metrics
+
+    rng = np.random.RandomState(3)
+    a = rng.rand(12, 14, 10).astype(np.float32) * 200
+    b = np.clip(a + rng.randn(12, 14, 10).astype(np.float32) * 10, -50, 250)
+    b[b < 60] = 0.0  # real background zeros for the mask case
+
+    out = volume_metrics(jnp.asarray(a), jnp.asarray(b))
+    assert float(out["ssim"]) == pytest.approx(float(ssim3d(a, b)), abs=1e-5)
+    assert float(out["psnr"]) == pytest.approx(float(psnr(a, b)), abs=1e-3)
+    assert float(out["mae"]) == pytest.approx(float(mae(a, b)), rel=1e-5)
+    assert float(out["pearson_r"]) == pytest.approx(float(pearson_r(a, b)),
+                                                    abs=1e-5)
+
+    m = b > 0
+    out_m = volume_metrics(jnp.asarray(a), jnp.asarray(b),
+                           mask=jnp.asarray(m), use_mask=True)
+    assert float(out_m["ssim"]) == pytest.approx(float(ssim3d(a, b)), abs=1e-5)
+    assert float(out_m["psnr"]) == pytest.approx(float(psnr(a[m], b[m])),
+                                                 abs=1e-3)
+    assert float(out_m["mae"]) == pytest.approx(float(mae(a[m], b[m])),
+                                                rel=1e-4)
+    assert float(out_m["pearson_r"]) == pytest.approx(
+        float(pearson_r(a[m], b[m])), abs=1e-5)
