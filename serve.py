@@ -1,0 +1,180 @@
+"""Serving daemon: persistent full-volume decode over a watched directory.
+
+The reference's deployment story is one ``test.py`` run per volume
+(reference test.py:38-218 decodes a single hard-coded image). On TPU that
+shape is wrong: every fresh process pays the device claim (minutes on a
+pooled chip) plus the decode compile before its first volume. serve.py
+keeps ONE process resident — checkpoint restored once, decode executable
+compiled once — and drains volumes as they arrive:
+
+    python serve.py --watch in_dir --result out_dir \
+        --checkpoints_dir ./checkpoints --name myrun --model_suffix _A
+
+Each ``.nii``/``.nii.gz`` appearing in ``--watch`` is decoded into
+``--result`` under the same filename. Robustness rules:
+
+- a file is only picked up once its (size, mtime) is identical across two
+  consecutive scans — half-copied uploads never reach the decoder; and a
+  file whose content CHANGES after being served (a re-upload, or a copy
+  that stalled long enough to look stable and then completed) is served
+  again once it re-stabilizes — "done" is a per-signature fact, not a
+  per-name one;
+- results are written atomically (hidden temp name in the result dir, then
+  ``os.replace``) so downstream watchers never see partial NIfTIs;
+- host IO overlaps the device decode exactly like ``test.py --image <dir>``
+  (thread-prefetched reads, async writes);
+- a failed volume is logged and skipped (its name goes to
+  ``<result>/failed.log``); the daemon keeps serving;
+- ``--once`` drains what is present and exits (batch mode with serve
+  semantics); otherwise the loop runs until ``--stop_file`` appears or
+  SIGINT.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+from mra_gan_tpu.data import nifti
+from mra_gan_tpu.options import TestOptions
+
+
+class ServeOptions(TestOptions):
+    def initialize(self, parser):
+        parser = TestOptions.initialize(self, parser)
+        parser.add_argument("--watch", type=str, required=True,
+                            help="directory to watch for input volumes")
+        parser.add_argument("--poll_secs", type=float, default=2.0,
+                            help="directory scan interval")
+        parser.add_argument("--once", action="store_true",
+                            help="drain the volumes currently present, "
+                                 "then exit")
+        parser.add_argument("--stop_file", type=str, default="",
+                            help="path whose appearance stops the daemon "
+                                 "cleanly (checked every poll)")
+        return parser
+
+
+def _atomic_save(result, path: Path) -> None:
+    # hidden temp name KEEPS the real suffix (the writer picks gzip from
+    # it), same directory so os.replace is atomic on the same filesystem
+    tmp = path.parent / f".tmp-{os.getpid()}-{path.name}"
+    try:
+        nifti.save(result, tmp)
+        os.replace(tmp, path)
+    except BaseException:
+        tmp.unlink(missing_ok=True)
+        raise
+
+
+def _scan(watch: Path) -> dict:
+    out = {}
+    for p in watch.iterdir():
+        if p.name.endswith((".nii", ".nii.gz")) and p.is_file():
+            st = p.stat()
+            out[p.name] = (st.st_size, st.st_mtime)
+    return out
+
+
+def _ready(cur: dict, prev: dict, done: dict) -> list:
+    """Names to serve this poll: signature stable across two consecutive
+    scans AND that signature not already served. Keying ``done`` on the
+    signature (not the name) means a file that changes after being served —
+    a re-upload, or a copy that stalled long enough to pass the stability
+    gate and then completed — is served again once it re-stabilizes."""
+    return sorted(n for n, sig in cur.items()
+                  if prev.get(n) == sig and done.get(n) != sig)
+
+
+def _drained(cur: dict, done: dict) -> bool:
+    """--once exit test: everything currently present has been served at its
+    current signature (files still settling keep the loop polling)."""
+    return all(done.get(n) == sig for n, sig in cur.items())
+
+
+def main(argv=None):
+    opt = ServeOptions().parse(argv)
+    from mra_gan_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import argparse
+
+    import test as test_cli
+
+    watch = Path(opt.watch)
+    out_dir = Path(opt.result)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if not watch.is_dir():
+        raise SystemExit(f"--watch {watch} is not a directory")
+    stop_file = Path(opt.stop_file) if opt.stop_file else None
+    failed_log = out_dir / "failed.log"
+
+    loaded = test_cli.load_generator(opt)
+    done: dict = {}  # name -> signature served (see _ready)
+    prev: dict = {}
+    served = failures = 0
+    print(f"serving {watch} -> {out_dir} "
+          f"({'drain once' if opt.once else f'poll every {opt.poll_secs}s'})",
+          flush=True)
+    with ThreadPoolExecutor(max_workers=2) as io_pool:
+        save_futures = []
+
+        def drain_saves(block: bool) -> None:
+            nonlocal served, failures
+            remaining = []
+            for res_path, t_start, fut in save_futures:
+                if not block and not fut.done():
+                    remaining.append((res_path, t_start, fut))
+                    continue
+                name = Path(res_path).name
+                try:
+                    fut.result()
+                    served += 1
+                    print(f"served {name} "
+                          f"({time.perf_counter() - t_start:.2f}s)",
+                          flush=True)
+                except Exception as e:  # write failure
+                    failures += 1
+                    print(f"FAILED WRITE {name}: {e}", flush=True)
+                    with open(failed_log, "a") as f:
+                        f.write(f"{name}\twrite\t{e}\n")
+            save_futures[:] = remaining
+
+        while True:
+            cur = _scan(watch)
+            ready = _ready(cur, prev, done)
+            prev = cur
+            for name in ready:
+                done[name] = cur[name]
+                sub = argparse.Namespace(**vars(opt))
+                sub.image = str(watch / name)
+                sub.result = str(out_dir / name)
+                t_start = time.perf_counter()
+                try:
+                    img = nifti.load(sub.image)
+                    result = test_cli.inference(sub, loaded, img=img,
+                                                save=False)
+                    save_futures.append((sub.result, t_start, io_pool.submit(
+                        _atomic_save, result, Path(sub.result))))
+                except Exception as e:
+                    failures += 1
+                    print(f"FAILED {name}: {e}", flush=True)
+                    with open(failed_log, "a") as f:
+                        f.write(f"{name}\tdecode\t{e}\n")
+                drain_saves(block=False)
+            if opt.once and _drained(cur, done):
+                break
+            if stop_file is not None and stop_file.exists():
+                print("stop file found, exiting", flush=True)
+                break
+            if not ready:
+                time.sleep(opt.poll_secs)
+        drain_saves(block=True)
+    print(f"served {served} volume(s), {failures} failure(s)", flush=True)
+    return served, failures
+
+
+if __name__ == "__main__":
+    main()

@@ -56,7 +56,8 @@ def load_generator(opt):
     return cfg, gen_fn, params, net
 
 
-def inference(opt, loaded=None, img=None, save_pool=None, save_futures=None):
+def inference(opt, loaded=None, img=None, save_pool=None, save_futures=None,
+              save=True):
     # `loaded` lets batch (directory) mode restore the checkpoint and build
     # gen_fn ONCE — the decode-program cache keys on id(gen_fn), so reusing
     # it is what makes same-geometry volumes decode without re-tracing.
@@ -168,7 +169,9 @@ def inference(opt, loaded=None, img=None, save_pool=None, save_futures=None):
                               affine=work.affine)
     if opt.resample:
         result = resample_to_reference(result, original, "bspline")
-    if save_pool is not None:
+    if not save:
+        pass  # caller owns the write (serve.py's atomic path)
+    elif save_pool is not None:
         save_futures.append((opt.result,
                              save_pool.submit(nifti.save, result, opt.result)))
     else:

@@ -1,0 +1,102 @@
+"""serve.py daemon: drain-once serving over a watched directory — checkpoint
+restored once, per-volume decode, atomic writes, per-file failure isolation.
+(The TPU-native replacement for running the reference's one-shot test.py per
+volume, reference test.py:38-218.)"""
+import numpy as np
+import pytest
+
+from mra_gan_tpu.data import nifti
+
+SMALL = ["--patch_size", "16", "16", "16", "--ngf", "4", "--ndf", "4",
+         "--n_layers_D", "1", "--precision", "float32"]
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    """A tiny checkpoint + a watch dir with two good volumes and one corrupt
+    file, drained by serve.py --once."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    tmp_path = tmp_path_factory.mktemp("serve")
+    import jax
+    import jax.numpy as jnp
+
+    import serve as serve_cli
+    from mra_gan_tpu.checkpoint import CheckpointManager
+    from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state
+
+    cfg = CycleGANConfig(ngf=4, ndf=4, net_g="resnet_6blocks",
+                         net_d="n_layers", n_layers_d=1, pool_size=2,
+                         dtype=jnp.float32)
+    state = create_state(cfg, jax.random.PRNGKey(0), (16, 16, 16))
+    CheckpointManager(str(tmp_path / "ck"), "srv").save(
+        "latest", state, also_latest=False)
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    rng = np.random.RandomState(0)
+    aff = np.diag([1.0, 1.0, 2.0, 1.0])
+    for i, suffix in enumerate((".nii", ".nii.gz")):
+        nifti.save(nifti.NiftiImage(
+            data=rng.rand(20, 18, 16).astype(np.float32) * 90, affine=aff),
+            watch / f"v{i}{suffix}")
+    (watch / "corrupt.nii").write_bytes(b"not a nifti at all")
+    out_dir = tmp_path / "out"
+
+    served_n, failures = serve_cli.main(
+        ["--watch", str(watch), "--result", str(out_dir),
+         "--checkpoints_dir", str(tmp_path / "ck"), "--name", "srv",
+         "--model_suffix", "_A", *SMALL, "--stride_inplane", "8",
+         "--stride_layer", "8", "--once", "--poll_secs", "0.05"])
+    return watch, out_dir, aff, served_n, failures
+
+
+def test_serve_once_drains_directory(served):
+    watch, out_dir, aff, served_n, failures = served
+    assert served_n == 2 and failures == 1
+    for name in ("v0.nii", "v1.nii.gz"):
+        res = nifti.load(out_dir / name)
+        inp = nifti.load(watch / name)
+        assert res.data.shape == inp.data.shape
+        assert np.allclose(res.affine, aff)
+        assert np.isfinite(res.data).all()
+        # tanh-range decode mapped back to the 0-255 convention
+        assert 0 <= float(res.data.min()) and float(res.data.max()) <= 255.0
+
+
+def test_ready_gate_semantics():
+    """Pure scheduling rules: two-scan stability, per-signature done (a file
+    that changes after being served is served again), --once drain test."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from serve import _drained, _ready
+
+    done = {}
+    # first sighting: not stable yet
+    assert _ready({"a.nii": (10, 1.0)}, {}, done) == []
+    # second identical sighting: ready
+    assert _ready({"a.nii": (10, 1.0)}, {"a.nii": (10, 1.0)}, done) == ["a.nii"]
+    done["a.nii"] = (10, 1.0)
+    # served signature never re-serves
+    assert _ready({"a.nii": (10, 1.0)}, {"a.nii": (10, 1.0)}, done) == []
+    assert _drained({"a.nii": (10, 1.0)}, done)
+    # the stalled-copy case: the file grows after being served (the partial
+    # looked stable), so the completed upload must be served again
+    assert not _drained({"a.nii": (99, 2.0)}, done)
+    assert _ready({"a.nii": (99, 2.0)}, {"a.nii": (10, 1.0)}, done) == []
+    assert _ready({"a.nii": (99, 2.0)}, {"a.nii": (99, 2.0)}, done) == ["a.nii"]
+    # a still-growing file keeps --once polling
+    done["a.nii"] = (99, 2.0)
+    assert not _drained({"a.nii": (120, 3.0)}, done)
+
+
+def test_serve_isolates_corrupt_inputs(served):
+    _, out_dir, _, _, failures = served
+    assert failures == 1
+    log = (out_dir / "failed.log").read_text()
+    assert "corrupt.nii" in log and "decode" in log
+    assert not (out_dir / "corrupt.nii").exists()
+    # no temp litter from the atomic writer
+    assert not [p for p in out_dir.iterdir() if p.name.startswith(".tmp-")]
