@@ -146,14 +146,21 @@ def main(argv=None):
             cur = _scan(watch)
             ready = _ready(cur, prev, done)
             prev = cur
-            for name in ready:
+            read_fut = None  # prefetched nifti.load of the CURRENT name
+            for i, name in enumerate(ready):
                 done[name] = cur[name]
                 sub = argparse.Namespace(**vars(opt))
                 sub.image = str(watch / name)
                 sub.result = str(out_dir / name)
                 t_start = time.perf_counter()
+                # overlap the NEXT file's host read with this one's device
+                # decode (same shape as test.py's directory mode — the read
+                # is pure host IO and the decode releases the GIL on waits)
+                nxt = (io_pool.submit(nifti.load, str(watch / ready[i + 1]))
+                       if i + 1 < len(ready) else None)
                 try:
-                    img = nifti.load(sub.image)
+                    img = (read_fut.result() if read_fut is not None
+                           else nifti.load(sub.image))
                     result = test_cli.inference(sub, loaded, img=img,
                                                 save=False)
                     save_futures.append((sub.result, t_start, io_pool.submit(
@@ -163,6 +170,7 @@ def main(argv=None):
                     print(f"FAILED {name}: {e}", flush=True)
                     with open(failed_log, "a") as f:
                         f.write(f"{name}\tdecode\t{e}\n")
+                read_fut = nxt
                 drain_saves(block=False)
             if opt.once and _drained(cur, done):
                 break
