@@ -846,15 +846,18 @@ class DynUNet3D(nn.Module):
         # 127 -> ~75 ms/step: cell convs via weight remaps, grouped-lane
         # affine norms, the k=s=2 upsampler emitting its pre-interleave
         # cells, and a lane-concat skip consumed by a block-split remap.
-        true_spatial = [int(s) * (4 if self.cells_io else 1)
-                        for s in x.shape[1:4]]
+        # f4-cell input (cells_io) has true dims divisible by 4 by
+        # construction — the divisibility check only constrains the
+        # true-layout path, where S2D(2) needs even dims. (The caller-side
+        # divisibility enforcement for cells_io lives in
+        # cycle_gan.uses_cells.)
         cells = (self.schedule_supports_cells(self.sizes, self.spacings)
-                 and all(s % (4 if self.cells_io else 2) == 0
-                         for s in true_spatial)
+                 and (self.cells_io
+                      or all(int(s) % 2 == 0 for s in x.shape[1:4]))
                  and spatial_shard_info() is None)
         assert cells or not self.cells_io, (
-            "cells_io needs a cell-compatible schedule and spatial dims "
-            "divisible by 4")
+            "cells_io needs a cell-compatible schedule and an unsharded "
+            "evaluation")
         h = x
         if cells:
             h = (regroup_cells(h, 4, 2, x.shape[-1] // 64) if self.cells_io

@@ -32,7 +32,6 @@ Each ``.nii``/``.nii.gz`` appearing in ``--watch`` is decoded into
 from __future__ import annotations
 
 import os
-import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -73,7 +72,10 @@ def _scan(watch: Path) -> dict:
     out = {}
     for p in watch.iterdir():
         if p.name.endswith((".nii", ".nii.gz")) and p.is_file():
-            st = p.stat()
+            try:
+                st = p.stat()
+            except OSError:  # deleted between iterdir/is_file and stat —
+                continue     # the daemon must outlive cleanup jobs
             out[p.name] = (st.st_size, st.st_mtime)
     return out
 
@@ -121,64 +123,91 @@ def main(argv=None):
     with ThreadPoolExecutor(max_workers=2) as io_pool:
         save_futures = []
 
-        def drain_saves(block: bool) -> None:
+        def finish_save(entry) -> None:
             nonlocal served, failures
+            res_path, t_start, fut = entry
+            name = Path(res_path).name
+            try:
+                fut.result()
+                served += 1
+                print(f"served {name} "
+                      f"({time.perf_counter() - t_start:.2f}s)",
+                      flush=True)
+            except Exception as e:  # write failure
+                failures += 1
+                print(f"FAILED WRITE {name}: {e}", flush=True)
+                with open(failed_log, "a") as f:
+                    f.write(f"{name}\twrite\t{e}\n")
+
+        def drain_saves(block: bool, max_pending: int = 4) -> None:
             remaining = []
-            for res_path, t_start, fut in save_futures:
-                if not block and not fut.done():
-                    remaining.append((res_path, t_start, fut))
+            for entry in save_futures:
+                if not block and not entry[2].done():
+                    remaining.append(entry)
                     continue
-                name = Path(res_path).name
-                try:
-                    fut.result()
-                    served += 1
-                    print(f"served {name} "
-                          f"({time.perf_counter() - t_start:.2f}s)",
-                          flush=True)
-                except Exception as e:  # write failure
-                    failures += 1
-                    print(f"FAILED WRITE {name}: {e}", flush=True)
-                    with open(failed_log, "a") as f:
-                        f.write(f"{name}\twrite\t{e}\n")
+                finish_save(entry)
+            # backpressure: each pending write holds a full float volume, so
+            # never let the queue outrun the 2-thread writer — block on the
+            # oldest instead of accumulating
+            while not block and len(remaining) > max_pending:
+                finish_save(remaining.pop(0))
             save_futures[:] = remaining
 
-        while True:
-            cur = _scan(watch)
-            ready = _ready(cur, prev, done)
-            prev = cur
-            read_fut = None  # prefetched nifti.load of the CURRENT name
-            for i, name in enumerate(ready):
-                done[name] = cur[name]
-                sub = argparse.Namespace(**vars(opt))
-                sub.image = str(watch / name)
-                sub.result = str(out_dir / name)
-                t_start = time.perf_counter()
-                # overlap the NEXT file's host read with this one's device
-                # decode (same shape as test.py's directory mode — the read
-                # is pure host IO and the decode releases the GIL on waits)
-                nxt = (io_pool.submit(nifti.load, str(watch / ready[i + 1]))
-                       if i + 1 < len(ready) else None)
-                try:
-                    img = (read_fut.result() if read_fut is not None
-                           else nifti.load(sub.image))
-                    result = test_cli.inference(sub, loaded, img=img,
-                                                save=False)
-                    save_futures.append((sub.result, t_start, io_pool.submit(
-                        _atomic_save, result, Path(sub.result))))
-                except Exception as e:
-                    failures += 1
-                    print(f"FAILED {name}: {e}", flush=True)
-                    with open(failed_log, "a") as f:
-                        f.write(f"{name}\tdecode\t{e}\n")
-                read_fut = nxt
-                drain_saves(block=False)
-            if opt.once and _drained(cur, done):
-                break
-            if stop_file is not None and stop_file.exists():
-                print("stop file found, exiting", flush=True)
-                break
-            if not ready:
-                time.sleep(opt.poll_secs)
+        try:
+            while True:
+                cur = _scan(watch)
+                # prune names no longer present: bounds `done` in a
+                # long-running daemon, and a file deleted then later restored
+                # (even with identical size+mtime, e.g. mv'd back) is served
+                # again instead of being silently skipped forever
+                done = {n: sig for n, sig in done.items() if n in cur}
+                ready = _ready(cur, prev, done)
+                prev = cur
+                read_fut = None  # prefetched nifti.load of the CURRENT name
+                for i, name in enumerate(ready):
+                    done[name] = cur[name]
+                    sub = argparse.Namespace(**vars(opt))
+                    sub.image = str(watch / name)
+                    sub.result = str(out_dir / name)
+                    t_start = time.perf_counter()
+                    # overlap the NEXT file's host read with this one's
+                    # device decode (same shape as test.py's directory mode —
+                    # the read is pure host IO and the decode releases the
+                    # GIL on waits)
+                    nxt = (io_pool.submit(nifti.load,
+                                          str(watch / ready[i + 1]))
+                           if i + 1 < len(ready) else None)
+                    try:
+                        img = (read_fut.result() if read_fut is not None
+                               else nifti.load(sub.image))
+                        result = test_cli.inference(sub, loaded, img=img,
+                                                    save=False)
+                        save_futures.append(
+                            (sub.result, t_start, io_pool.submit(
+                                _atomic_save, result, Path(sub.result))))
+                    except Exception as e:
+                        failures += 1
+                        print(f"FAILED {name}: {e}", flush=True)
+                        with open(failed_log, "a") as f:
+                            f.write(f"{name}\tdecode\t{e}\n")
+                    read_fut = nxt
+                    drain_saves(block=False)
+                if opt.once and _drained(cur, done):
+                    break
+                if stop_file is not None and stop_file.exists():
+                    print("stop file found, exiting", flush=True)
+                    break
+                if not ready:
+                    # idle polls still surface finished/failed writes —
+                    # without this a disk-full failure would go unlogged
+                    # until the NEXT file arrived
+                    drain_saves(block=False)
+                    time.sleep(opt.poll_secs)
+        except KeyboardInterrupt:
+            # SIGINT is the documented stop mechanism: still drain pending
+            # writes so their outcomes (incl. failures) are logged, and
+            # still print the summary
+            print("interrupted — draining pending writes", flush=True)
         drain_saves(block=True)
     print(f"served {served} volume(s), {failures} failure(s)", flush=True)
     return served, failures

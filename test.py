@@ -212,6 +212,29 @@ def main(argv=None):
         # decode's host loop.
         with ThreadPoolExecutor(max_workers=2) as io_pool:
             save_futures = []
+
+            def finish_save(res_path, fut):
+                try:
+                    fut.result()
+                    print(f"wrote {res_path}")
+                except Exception as e:
+                    print(f"FAILED WRITE {res_path}: {e}")
+                    failed.append(Path(res_path).name)
+
+            def drain_saves(block, max_pending=4):
+                remaining = []
+                for res_path, fut in save_futures:
+                    if not block and not fut.done():
+                        remaining.append((res_path, fut))
+                        continue
+                    finish_save(res_path, fut)
+                # backpressure: each pending write holds a full float
+                # volume; when decode outruns the 2-thread writer, block on
+                # the oldest instead of accumulating volumes in RAM
+                while not block and len(remaining) > max_pending:
+                    finish_save(*remaining.pop(0))
+                save_futures[:] = remaining
+
             next_img, next_idx = io_pool.submit(nifti.load, str(files[0])), 0
             for i, p in enumerate(files):
                 sub = argparse.Namespace(**vars(opt))
@@ -226,19 +249,15 @@ def main(argv=None):
                         next_idx = i + 1
                     inference(sub, loaded, img=img, save_pool=io_pool,
                               save_futures=save_futures)
-                except RuntimeError as e:
-                    # per-volume decode failure (e.g. the single-pass HBM
-                    # preflight refusing an over-limit geometry) — the rest
-                    # of the directory can still decode
-                    print(f"SKIPPED {p.name}: {e}")
-                    failed.append(p.name)
-            for res_path, fut in save_futures:
-                try:
-                    fut.result()
-                    print(f"wrote {res_path}")
                 except Exception as e:
-                    print(f"FAILED WRITE {res_path}: {e}")
-                    failed.append(Path(res_path).name)
+                    # per-volume failure — over-limit geometry refused by
+                    # the HBM preflight (RuntimeError), a corrupt/truncated
+                    # file (gzip/struct/ValueError from nifti.load), etc. —
+                    # the rest of the directory can still decode
+                    print(f"SKIPPED {p.name}: {type(e).__name__}: {e}")
+                    failed.append(p.name)
+                drain_saves(block=False)
+            drain_saves(block=True)
         if failed:
             print(f"{len(failed)}/{len(files)} volumes skipped: "
                   + ", ".join(failed))
