@@ -1,5 +1,7 @@
 """End-to-end CLI test: organize -> train -> resume -> infer -> evaluate on
 synthetic NIfTIs (the BASELINE 'Smoke' config scale)."""
+import shutil
+
 import numpy as np
 import pytest
 
@@ -217,11 +219,19 @@ def test_batch_directory_inference(data_root):
                     "--checkpoints_dir", ck, "--name", "d", *SMALL,
                     "--pool_size", "2", "--niter", "1", "--niter_decay", "0",
                     "--save_epoch_freq", "1"])
+    # a corrupt volume in the directory must be skipped (any load/decode
+    # exception, not just RuntimeError), never abort the sweep
+    in_dir = data_root / "batch_in"
+    in_dir.mkdir()
+    for p in (data_root / "train/images").iterdir():
+        shutil.copy(p, in_dir / p.name)
+    (in_dir / "corrupt.nii").write_bytes(b"not a nifti")
     out_dir = data_root / "batch_out"
-    test_cli.main(["--image", str(data_root / "train/images"),
+    test_cli.main(["--image", str(in_dir),
                    "--result", str(out_dir), "--checkpoints_dir", ck,
                    "--name", "d", *SMALL, "--stride_inplane", "8",
                    "--stride_layer", "8"])
+    assert not (out_dir / "corrupt.nii").exists()
     for i in range(2):
         res = nifti.load(out_dir / f"{i}.nii")
         assert res.data.shape == (24, 24, 24)
