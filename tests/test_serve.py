@@ -92,6 +92,78 @@ def test_ready_gate_semantics():
     assert not _drained({"a.nii": (120, 3.0)}, done)
 
 
+def test_serve_reserves_deleted_then_restored_file(tmp_path):
+    """Live polling loop: a watched file deleted and later restored with an
+    IDENTICAL (size, mtime) signature — e.g. mv'd out and back — must be
+    served again ('done' is pruned for vanished names), and --stop_file
+    still produces the drain + summary."""
+    import os
+    import sys
+    import threading
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    import jax
+    import jax.numpy as jnp
+
+    import serve as serve_cli
+    from mra_gan_tpu.checkpoint import CheckpointManager
+    from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state
+
+    cfg = CycleGANConfig(ngf=4, ndf=4, net_g="resnet_6blocks",
+                         net_d="n_layers", n_layers_d=1, pool_size=2,
+                         dtype=jnp.float32)
+    state = create_state(cfg, jax.random.PRNGKey(0), (16, 16, 16))
+    CheckpointManager(str(tmp_path / "ck"), "srv").save(
+        "latest", state, also_latest=False)
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    out_dir = tmp_path / "out"
+    stop = tmp_path / "stop"
+    nifti.save(nifti.NiftiImage(
+        data=np.random.RandomState(0).rand(20, 18, 16).astype(np.float32) * 90,
+        affine=np.eye(4)), watch / "a.nii")
+
+    result = {}
+
+    def run():
+        result["rv"] = serve_cli.main(
+            ["--watch", str(watch), "--result", str(out_dir),
+             "--checkpoints_dir", str(tmp_path / "ck"), "--name", "srv",
+             "--model_suffix", "_A", *SMALL, "--stride_inplane", "8",
+             "--stride_layer", "8", "--poll_secs", "0.05",
+             "--stop_file", str(stop)])
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+    def wait_for(cond, timeout=120):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if cond():
+                return True
+            time.sleep(0.05)
+        return False
+
+    try:
+        assert wait_for(lambda: (out_dir / "a.nii").exists())
+        sig = (watch / "a.nii").stat()
+        data = (watch / "a.nii").read_bytes()
+        (out_dir / "a.nii").unlink()
+        (watch / "a.nii").unlink()
+        time.sleep(0.5)  # several polls with the file absent -> done pruned
+        (watch / "a.nii").write_bytes(data)
+        os.utime(watch / "a.nii", (sig.st_atime, sig.st_mtime))
+        assert (watch / "a.nii").stat().st_size == sig.st_size
+        assert wait_for(lambda: (out_dir / "a.nii").exists()), \
+            "identically-restored file was never re-served"
+    finally:
+        stop.write_text("")
+        t.join(timeout=120)
+    assert not t.is_alive()
+    assert result["rv"] == (2, 0)  # served twice, no failures
+
+
 def test_serve_isolates_corrupt_inputs(served):
     _, out_dir, _, _, failures = served
     assert failures == 1
