@@ -31,6 +31,7 @@ Each ``.nii``/``.nii.gz`` appearing in ``--watch`` is decoded into
 """
 from __future__ import annotations
 
+import itertools
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -38,6 +39,11 @@ from pathlib import Path
 
 from mra_gan_tpu.data import nifti
 from mra_gan_tpu.options import TestOptions
+
+# Transient (device/runtime) decode failures are retried this many times per
+# (name, signature) before the signature is retired for good. Load/parse
+# failures are permanent immediately — re-reading corrupt bytes cannot help.
+MAX_DECODE_ATTEMPTS = 3
 
 
 class ServeOptions(TestOptions):
@@ -56,10 +62,18 @@ class ServeOptions(TestOptions):
         return parser
 
 
+_tmp_counter = itertools.count()
+
+
 def _atomic_save(result, path: Path) -> None:
     # hidden temp name KEEPS the real suffix (the writer picks gzip from
-    # it), same directory so os.replace is atomic on the same filesystem
-    tmp = path.parent / f".tmp-{os.getpid()}-{path.name}"
+    # it), same directory so os.replace is atomic on the same filesystem.
+    # The monotonic counter makes the tmp path unique even when the SAME
+    # output target is written twice in quick succession (a re-served file
+    # whose previous save is still pending) — pid alone is constant per
+    # process, so two concurrent writers would otherwise share one tmp path
+    # and os.replace could promote an interleaved half-write.
+    tmp = path.parent / f".tmp-{os.getpid()}-{next(_tmp_counter)}-{path.name}"
     try:
         nifti.save(result, tmp)
         os.replace(tmp, path)
@@ -71,6 +85,8 @@ def _atomic_save(result, path: Path) -> None:
 def _scan(watch: Path) -> dict:
     out = {}
     for p in watch.iterdir():
+        if p.name.startswith("."):
+            continue  # hidden files: editors' swap files, our own .tmp-*
         if p.name.endswith((".nii", ".nii.gz")) and p.is_file():
             try:
                 st = p.stat()
@@ -110,12 +126,17 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
     if not watch.is_dir():
         raise SystemExit(f"--watch {watch} is not a directory")
+    if watch.resolve() == out_dir.resolve():
+        # our own outputs (and in-flight .tmp partials) would match the scan
+        # and feed the decoder in an endless self-decode loop
+        raise SystemExit("--watch and --result must be different directories")
     stop_file = Path(opt.stop_file) if opt.stop_file else None
     failed_log = out_dir / "failed.log"
 
     loaded = test_cli.load_generator(opt)
     done: dict = {}  # name -> signature served (see _ready)
     prev: dict = {}
+    attempts: dict = {}  # (name, signature) -> transient decode failures
     served = failures = 0
     print(f"serving {watch} -> {out_dir} "
           f"({'drain once' if opt.once else f'poll every {opt.poll_secs}s'})",
@@ -153,19 +174,42 @@ def main(argv=None):
                 finish_save(remaining.pop(0))
             save_futures[:] = remaining
 
+        def settle_saves_for(res_path: str) -> None:
+            # Serialize writes per output target: before re-serving a name
+            # whose previous save is still pending, block on that save so a
+            # stale (older-signature) write can never finish after — and
+            # clobber — the fresh result.
+            keep = []
+            for entry in save_futures:
+                if entry[0] == res_path:
+                    finish_save(entry)
+                else:
+                    keep.append(entry)
+            save_futures[:] = keep
+
+        stopping = False
         try:
-            while True:
+            while not stopping:
                 cur = _scan(watch)
                 # prune names no longer present: bounds `done` in a
                 # long-running daemon, and a file deleted then later restored
                 # (even with identical size+mtime, e.g. mv'd back) is served
                 # again instead of being silently skipped forever
                 done = {n: sig for n, sig in done.items() if n in cur}
+                attempts = {k: v for k, v in attempts.items() if k[0] in cur}
                 ready = _ready(cur, prev, done)
                 prev = cur
                 read_fut = None  # prefetched nifti.load of the CURRENT name
                 for i, name in enumerate(ready):
-                    done[name] = cur[name]
+                    # re-check the stop file between volumes: a large backlog
+                    # would otherwise fully drain before the next poll-level
+                    # check, making --stop_file latency unbounded
+                    if stop_file is not None and stop_file.exists():
+                        print("stop file found, exiting", flush=True)
+                        stopping = True
+                        break
+                    sig = cur[name]
+                    done[name] = sig
                     sub = argparse.Namespace(**vars(opt))
                     sub.image = str(watch / name)
                     sub.result = str(out_dir / name)
@@ -180,18 +224,43 @@ def main(argv=None):
                     try:
                         img = (read_fut.result() if read_fut is not None
                                else nifti.load(sub.image))
-                        result = test_cli.inference(sub, loaded, img=img,
-                                                    save=False)
-                        save_futures.append(
-                            (sub.result, t_start, io_pool.submit(
-                                _atomic_save, result, Path(sub.result))))
                     except Exception as e:
+                        # load/parse failure: permanent for this signature —
+                        # re-reading corrupt bytes cannot succeed later
                         failures += 1
                         print(f"FAILED {name}: {e}", flush=True)
                         with open(failed_log, "a") as f:
                             f.write(f"{name}\tdecode\t{e}\n")
+                        read_fut = nxt
+                        continue
+                    try:
+                        result = test_cli.inference(sub, loaded, img=img,
+                                                    save=False)
+                        settle_saves_for(sub.result)
+                        save_futures.append(
+                            (sub.result, t_start, io_pool.submit(
+                                _atomic_save, result, Path(sub.result))))
+                        attempts.pop((name, sig), None)
+                    except Exception as e:
+                        # decode/runtime failure: often transient on this
+                        # backend (tunnel drop, pool UNAVAILABLE window) —
+                        # un-retire the signature so the next poll retries,
+                        # up to MAX_DECODE_ATTEMPTS
+                        failures += 1
+                        n_try = attempts.get((name, sig), 0) + 1
+                        attempts[(name, sig)] = n_try
+                        retry = n_try < MAX_DECODE_ATTEMPTS
+                        if retry:
+                            del done[name]
+                        print(f"FAILED {name} (attempt {n_try}"
+                              f"{', will retry' if retry else ', giving up'}"
+                              f"): {e}", flush=True)
+                        with open(failed_log, "a") as f:
+                            f.write(f"{name}\tdecode\t{e}\n")
                     read_fut = nxt
                     drain_saves(block=False)
+                if stopping:
+                    break
                 if opt.once and _drained(cur, done):
                     break
                 if stop_file is not None and stop_file.exists():

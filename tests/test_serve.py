@@ -172,3 +172,175 @@ def test_serve_isolates_corrupt_inputs(served):
     assert not (out_dir / "corrupt.nii").exists()
     # no temp litter from the atomic writer
     assert not [p for p in out_dir.iterdir() if p.name.startswith(".tmp-")]
+
+
+def test_scan_skips_hidden_files(tmp_path):
+    """Hidden names (our own .tmp-* partials, editor swap files) never reach
+    the decoder even when they carry a .nii suffix."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from serve import _scan
+
+    (tmp_path / "good.nii").write_bytes(b"x")
+    (tmp_path / ".tmp-123-0-good.nii").write_bytes(b"x")
+    (tmp_path / ".hidden.nii.gz").write_bytes(b"x")
+    assert sorted(_scan(tmp_path)) == ["good.nii"]
+
+
+def test_serve_rejects_watch_equals_result(tmp_path):
+    """--watch == --result would make the daemon decode its own outputs in an
+    endless loop; it must refuse to start."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import pytest
+
+    import serve as serve_cli
+
+    d = tmp_path / "dir"
+    d.mkdir()
+    with pytest.raises(SystemExit, match="different directories"):
+        serve_cli.main(
+            ["--watch", str(d), "--result", str(d),
+             "--checkpoints_dir", str(tmp_path / "ck"), "--name", "x",
+             "--model_suffix", "_A", *SMALL, "--once"])
+
+
+def test_transient_decode_failure_is_retried(tmp_path, monkeypatch):
+    """A decode/runtime error (e.g. a TPU tunnel drop) must NOT permanently
+    retire the volume's signature: the next poll retries it, bounded by
+    MAX_DECODE_ATTEMPTS. Load/parse failures stay permanent (see the corrupt
+    -input test)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import jax
+    import jax.numpy as jnp
+
+    import serve as serve_cli
+    import test as test_cli
+    from mra_gan_tpu.checkpoint import CheckpointManager
+    from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state
+
+    cfg = CycleGANConfig(ngf=4, ndf=4, net_g="resnet_6blocks",
+                         net_d="n_layers", n_layers_d=1, pool_size=2,
+                         dtype=jnp.float32)
+    state = create_state(cfg, jax.random.PRNGKey(0), (16, 16, 16))
+    CheckpointManager(str(tmp_path / "ck"), "srv").save(
+        "latest", state, also_latest=False)
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    out_dir = tmp_path / "out"
+    nifti.save(nifti.NiftiImage(
+        data=np.random.RandomState(0).rand(20, 18, 16).astype(np.float32) * 90,
+        affine=np.eye(4)), watch / "a.nii")
+
+    real_inference = test_cli.inference
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated tunnel drop")
+        return real_inference(*a, **kw)
+
+    monkeypatch.setattr(test_cli, "inference", flaky)
+    served_n, failures = serve_cli.main(
+        ["--watch", str(watch), "--result", str(out_dir),
+         "--checkpoints_dir", str(tmp_path / "ck"), "--name", "srv",
+         "--model_suffix", "_A", *SMALL, "--stride_inplane", "8",
+         "--stride_layer", "8", "--once", "--poll_secs", "0.01"])
+    assert calls["n"] == 2, "failed decode was never retried"
+    assert (served_n, failures) == (1, 1)
+    assert (out_dir / "a.nii").exists()
+    log = (out_dir / "failed.log").read_text()
+    assert "will retry" not in log  # retry annotation goes to stdout only
+
+
+def test_stop_file_breaks_mid_batch(tmp_path, monkeypatch):
+    """--stop_file is honored BETWEEN volumes of one ready batch — a large
+    backlog must not fully drain before the stop is noticed."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import jax
+    import jax.numpy as jnp
+
+    import serve as serve_cli
+    import test as test_cli
+    from mra_gan_tpu.checkpoint import CheckpointManager
+    from mra_gan_tpu.models.cycle_gan import CycleGANConfig, create_state
+
+    cfg = CycleGANConfig(ngf=4, ndf=4, net_g="resnet_6blocks",
+                         net_d="n_layers", n_layers_d=1, pool_size=2,
+                         dtype=jnp.float32)
+    state = create_state(cfg, jax.random.PRNGKey(0), (16, 16, 16))
+    CheckpointManager(str(tmp_path / "ck"), "srv").save(
+        "latest", state, also_latest=False)
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    out_dir = tmp_path / "out"
+    stop = tmp_path / "stop"
+    rng = np.random.RandomState(0)
+    for i in range(3):  # a 3-volume backlog
+        nifti.save(nifti.NiftiImage(
+            data=rng.rand(20, 18, 16).astype(np.float32) * 90,
+            affine=np.eye(4)), watch / f"v{i}.nii")
+
+    real_inference = test_cli.inference
+
+    def stopping_inference(*a, **kw):
+        out = real_inference(*a, **kw)
+        stop.write_text("")  # stop requested while the batch is draining
+        return out
+
+    monkeypatch.setattr(test_cli, "inference", stopping_inference)
+    served_n, failures = serve_cli.main(
+        ["--watch", str(watch), "--result", str(out_dir),
+         "--checkpoints_dir", str(tmp_path / "ck"), "--name", "srv",
+         "--model_suffix", "_A", *SMALL, "--stride_inplane", "8",
+         "--stride_layer", "8", "--poll_secs", "0.05",
+         "--stop_file", str(stop)])
+    # stop appeared during volume 1 of 3: volume 2 must never start
+    assert (served_n, failures) == (1, 0)
+    assert (out_dir / "v0.nii").exists()
+    assert not (out_dir / "v2.nii").exists()
+
+
+def test_concurrent_saves_to_same_target_do_not_corrupt(tmp_path):
+    """_atomic_save tmp names are unique per call: two concurrent writers to
+    the SAME output path each complete, and the surviving file is one intact
+    result (never an interleaved half-write, never an unlinked-under-writer
+    tmp)."""
+    import sys
+    import threading
+
+    sys.path.insert(0, "/root/repo")
+    import serve as serve_cli
+
+    rng = np.random.RandomState(0)
+    a = nifti.NiftiImage(data=rng.rand(12, 10, 8).astype(np.float32),
+                         affine=np.eye(4))
+    b = nifti.NiftiImage(data=rng.rand(12, 10, 8).astype(np.float32),
+                         affine=np.eye(4))
+    target = tmp_path / "same.nii"
+    errs = []
+
+    def run(img):
+        try:
+            serve_cli._atomic_save(img, target)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(img,)) for img in (a, b)
+          for _ in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    got = nifti.load(target)
+    assert (np.array_equal(got.data, a.data)
+            or np.array_equal(got.data, b.data))
+    assert not [p for p in tmp_path.iterdir() if p.name.startswith(".tmp-")]
