@@ -191,7 +191,11 @@ def _run(errors: dict[str, str]) -> None:
     enable_compilation_cache()
 
     cfg = CycleGANConfig(ngf=32, ndf=32, net_g="resnet_6blocks", net_d="n_layers",
-                         n_layers_d=3, pool_size=50, dtype=jnp.bfloat16)
+                         n_layers_d=3, pool_size=50, dtype=jnp.bfloat16,
+                         # pinned: the benchmarked program has been LSGAN
+                         # since r1 (the library default moved to the
+                         # reference-faithful "vanilla" in r5)
+                         gan_mode="lsgan")
     state = create_state(cfg, jax.random.PRNGKey(0), PATCH)
     step = jax.jit(make_train_step(cfg), donate_argnums=0)
 

@@ -50,7 +50,13 @@ class CycleGANConfig:
     no_dropout: bool = True
     init_type: str = "normal"
     init_gain: float = 0.02
-    gan_mode: str = "lsgan"  # no_lsgan -> "vanilla" (+ sigmoid in D)
+    # "vanilla" (BCE + sigmoid D) is the reference's EFFECTIVE default: its
+    # --no_lsgan flag is store_false with default True (reference
+    # options/train_options.py:19, models/cycle_gan_model.py:93,103), so a
+    # bare `python train.py` trains vanilla GAN. The library default matches
+    # the CLI default (train.py:39) so library and CLI users train the same
+    # objective; pass gan_mode="lsgan" for least-squares GAN.
+    gan_mode: str = "vanilla"
     lambda_a: float = 10.0
     lambda_b: float = 10.0
     lambda_identity: float = 0.5

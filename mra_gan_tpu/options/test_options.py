@@ -36,8 +36,11 @@ class TestOptions(BaseOptions):
         parser.add_argument("--spatial_shard", action="store_true",
                             help="decode the WHOLE volume in one pass with "
                                  "the volume depth-sharded across all devices "
-                                 "(halo-exchange convs; resnet generators) "
-                                 "instead of sliding-window patching")
+                                 "(halo-exchange convs) instead of "
+                                 "sliding-window patching; works for any "
+                                 "netG whose depth rule the volume meets "
+                                 "(parallel/spatial.py spatial_depth_rule — "
+                                 "resnet, unet_*, Dynet)")
         parser.add_argument("--pad_mode", type=str, default="reference",
                             choices=["reference", "symmetric"],
                             help="sub-patch volume padding: 'reference' "

@@ -60,6 +60,19 @@ def test_no_lsgan_default_matches_reference(tmp_path):
     assert config_from_opt(opt).gan_mode == "lsgan"
 
 
+def test_library_default_objective_matches_cli_default(tmp_path):
+    """A library user (bare CycleGANConfig()) and a CLI user (bare
+    `python train.py`) must train the SAME objective — the defaults diverged
+    until r5 (library lsgan vs CLI vanilla), silently training different
+    GANs depending on the entry point."""
+    from train import config_from_opt
+
+    from mra_gan_tpu.models.cycle_gan import CycleGANConfig
+
+    assert CycleGANConfig().gan_mode == config_from_opt(
+        _parse_train(tmp_path)).gan_mode == "vanilla"
+
+
 def test_suffix_templating(tmp_path):
     opt = _parse_train(tmp_path, ["--suffix", "{model}_{netG}"])
     assert opt.name.endswith("cycle_gan_resnet_6blocks")

@@ -289,6 +289,23 @@ def test_spatial_step_matches_single_device_dynet():
         step(sp_state, bad, bad, jax.random.PRNGKey(9), 2e-4)
 
 
+def test_sharded_generator_apply_unet():
+    """Whole-volume depth-sharded U-Net forward equals the unsharded one —
+    the --spatial_shard decode path is per-net via spatial_depth_rule, not
+    resnet-only (its depth granularity is 2^n_downs per shard)."""
+    from mra_gan_tpu.models.networks import define_g
+    from mra_gan_tpu.parallel.spatial import sharded_generator_apply
+
+    mesh = make_mesh(jax.devices()[:2])
+    net = define_g(output_nc=1, ngf=2, net_g="unet_custom")  # 5 downs
+    vol = np.random.RandomState(5).rand(64, 32, 32).astype(np.float32) * 2 - 1
+    x = jnp.asarray(vol)[None, ..., None]
+    params = net.init(jax.random.PRNGKey(0), x, train=False)
+    want = np.asarray(net.apply(params, x, train=False))[0, ..., 0]
+    got = sharded_generator_apply(mesh, net, params, vol)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_sharded_generator_apply_dynet():
     """Whole-volume depth-sharded Dynet forward equals the unsharded one."""
     from mra_gan_tpu.models.networks import DynUNet3D

@@ -130,6 +130,25 @@ def test_deep_unet_structural_parity(ref, num_downs, arch_name, tmp_path):
     tg.load_state_dict(sd, strict=True)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("num_downs,arch_name", [(7, "unet_128"), (8, "unet_256")])
+def test_deep_unet_numeric_forward_parity(ref, num_downs, arch_name):
+    """Full numeric forward parity for the DEEP U-Nets at their minimum
+    legal spatial size (2^num_downs — reference models/networks3D.py:270-343
+    halves the volume once per down). Structural parity alone (the test
+    above) cannot catch a wiring error that preserves shapes, e.g. a swapped
+    inner skip; this closes that hole with an end-to-end allclose at the
+    §1 tolerances. ngf=2 keeps the torch CPU forward tractable."""
+    tg = ref.UnetGenerator(1, 1, num_downs, 2,
+                           norm_layer=ref.get_norm_layer("instance"))
+    _randomize(tg, seed=num_downs)
+    ours = define_g(output_nc=1, ngf=2, net_g=arch_name)
+    size = 2 ** num_downs
+    x = np.random.RandomState(num_downs).randn(
+        1, size, size, size, 1).astype(np.float32)
+    _assert_parity(tg, ours, arch_name, x)
+
+
 def test_dataparallel_prefix_strip(ref, tmp_path):
     tg = ref.define_G(1, 1, 4, "resnet_6blocks", norm="instance")
     sd = {("module." + k): v for k, v in tg.state_dict().items()}
