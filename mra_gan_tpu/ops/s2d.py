@@ -24,7 +24,7 @@ the reference layout (checkpoint / torch-import compatible).
 """
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial as _partial
 from typing import Tuple
 
 import jax
@@ -114,16 +114,11 @@ def remap_weight_s2d(w: jax.Array, f: int) -> jax.Array:
     return wg.reshape(ku, ku, ku, f ** 3 * ci, f ** 3 * co)
 
 
-def edge_pad_cells(xc: jax.Array, f: int, pad_cells: int, c: int) -> jax.Array:
-    """Edge-replication padding of a cell-domain tensor by whole cells.
-
-    A pad cell replicates the true edge value, so along each axis it is the
-    boundary parity slice (p=0 low / p=f-1 high) of the adjacent edge cell,
-    broadcast over that axis's parity — exactly what true-domain edge
-    padding by a multiple of f produces after space_to_depth. The lane
-    reshapes touch only 1-cell-thick slabs."""
-    if pad_cells == 0:
-        return xc
+def _edge_pad_cells_concat(xc: jax.Array, f: int, pad_cells: int,
+                           c: int) -> jax.Array:
+    """Per-axis concatenate form of edge_pad_cells — kept as the ADJOINT
+    shape (its transpose is slices + slab reduce-adds, which XLA lowers
+    well); the forward uses the frame form below."""
     for ax in (1, 2, 3):
         def boundary(idx: int, par: int) -> jax.Array:
             slab = jax.lax.slice_in_dim(xc, idx, idx + 1, axis=ax)
@@ -141,50 +136,139 @@ def edge_pad_cells(xc: jax.Array, f: int, pad_cells: int, c: int) -> jax.Array:
     return xc
 
 
-def zero_pad_cells(xc: jax.Array, pad_cells: int) -> jax.Array:
-    return jnp.pad(xc, ((0, 0),) + ((pad_cells, pad_cells),) * 3 + ((0, 0),))
+def _edge_pad_cells_frame(xc: jax.Array, f: int, p: int, c: int) -> jax.Array:
+    """Frame form: ONE zero-pad into the final buffer plus six in-place face
+    writes (dynamic_update_slice chain on one buffer). The concat chain
+    staged the full ~380 MB tensor once per axis at the reference batch-8
+    workload (XLA lowers each concat as DUS fusions into a NEW buffer);
+    this writes the full tensor once and each face slab once. Faces are read
+    from the in-progress buffer (axis order 1,2,3), so corner regions
+    replicate exactly like sequential per-axis padding."""
+    out = jnp.pad(xc, ((0, 0),) + ((p, p),) * 3 + ((0, 0),))
+    for ax in (1, 2, 3):
+        def face(idx: int, par: int) -> jax.Array:
+            slab = jax.lax.slice_in_dim(out, idx, idx + 1, axis=ax)
+            full = slab.shape[:-1] + (f, f, f, c)
+            s = slab.reshape(full)
+            pi = [slice(None)] * len(full)
+            pi[len(full) - 4 + (ax - 1)] = slice(par, par + 1)
+            sel = jnp.broadcast_to(s[tuple(pi)], full).reshape(slab.shape)
+            if p > 1:  # p-cell-thick slab, same replicated values
+                thick = list(sel.shape)
+                thick[ax] = p
+                sel = jnp.broadcast_to(sel, thick)
+            return sel
+
+        lo = face(p, 0)
+        hi = face(out.shape[ax] - 1 - p, f - 1)
+        idx_hi = [0] * 5
+        idx_hi[ax] = out.shape[ax] - p
+        out = jax.lax.dynamic_update_slice(out, lo, (0,) * 5)
+        out = jax.lax.dynamic_update_slice(out, hi, tuple(idx_hi))
+    return out
 
 
-def _valid_cell_conv(xp: jax.Array, wp: jax.Array) -> jax.Array:
+@_partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def edge_pad_cells(xc: jax.Array, f: int, pad_cells: int, c: int) -> jax.Array:
+    """Edge-replication padding of a cell-domain tensor by whole cells.
+
+    A pad cell replicates the true edge value, so along each axis it is the
+    boundary parity slice (p=0 low / p=f-1 high) of the adjacent edge cell,
+    broadcast over that axis's parity — exactly what true-domain edge
+    padding by a multiple of f produces after space_to_depth.
+
+    Mixed lowering, BATCH-GATED like the other cell relayouts (round 5,
+    interleaved A/B on v5e, 3 reps, per-form minima): at per-device batch
+    > 4 the FORWARD uses the frame form — one zero-pad + six in-place face
+    DUS writes, where the per-axis concat chain staged the full ~380 MB
+    tensor once per axis (batch-8 step 226.2 -> 222.3 ms) — while at batch
+    <= 4 the concat chain lowers better and the frame form REGRESSES
+    (68.6 -> 70.6 ms), mirroring the s2d/d2s per-axis gates. The BACKWARD
+    is always the transpose of the concat form (slices + slab reduce-adds)
+    — autodiff of the frame form would emit a full-size zero-window tensor
+    per DUS (6 extra full-tensor writes, measured +4 ms at batch 1). The op
+    is linear, so the exact adjoint pairs with either forward; equality of
+    the two forms and of the custom VJP against concat-form autodiff is
+    pinned in tests/test_s2d.py."""
+    if pad_cells == 0:
+        return xc
+    return _epc_form(xc, f, pad_cells, c)
+
+
+def _epc_form(xc, f, pad_cells, c):
+    from ..core.spatial_ctx import dp_batch_divisor
+
+    if xc.shape[0] // dp_batch_divisor() > 4:
+        return _edge_pad_cells_frame(xc, f, pad_cells, c)
+    return _edge_pad_cells_concat(xc, f, pad_cells, c)
+
+
+def _epc_fwd(xc, f, pad_cells, c):
+    y = xc if pad_cells == 0 else _epc_form(xc, f, pad_cells, c)
+    return y, (jax.ShapeDtypeStruct(xc.shape, xc.dtype),)
+
+
+def _epc_bwd(f, pad_cells, c, res, g):
+    (aval,) = res
+    if pad_cells == 0:
+        return (g,)
+    lt = jax.linear_transpose(
+        lambda x: _edge_pad_cells_concat(x, f, pad_cells, c), aval)
+    (dx,) = lt(g)
+    return (dx,)
+
+
+edge_pad_cells.defvjp(_epc_fwd, _epc_bwd)
+
+
+def _valid_cell_conv(xp: jax.Array, wp: jax.Array, pad: int = 0) -> jax.Array:
+    """Stride-1 cell-domain conv. ``pad`` cells of ZERO padding ride the conv
+    custom-call's window padding — the TPU conv handles boundary zeros
+    internally, so no padded copy of the operand is ever materialized (the
+    explicit zero_pad_cells form staged the full padded tensor as
+    constant+DUS fusions: 16+ GB/step across the batch-8 resnet program)."""
     return jax.lax.conv_general_dilated(
-        xp, wp, (1, 1, 1), "VALID",
+        xp, wp, (1, 1, 1), [(pad, pad)] * 3 if pad else "VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=xp.dtype)
 
 
-@jax.custom_vjp
-def _skinny_cell_conv(xp: jax.Array, wp: jax.Array) -> jax.Array:
-    """VALID cell-domain conv with a fast input-gradient for skinny input
-    lanes (the generator stem: 8 lanes). XLA lowers the transposed conv for
-    dx as a slow 8-lane VPU fusion (~2.7 ms per chain apply at 64^3 on
-    v5e); here dx is computed in the S2D(2)-of-cells (= f4) domain where
-    both operand lane counts are MXU-wide, then split back — the identity
-    VALID-conv(grid) == VALID-conv(cell pairs, remapped kernel). The weight
-    gradient reuses XLA's own (fast) lowering via jax.vjp."""
-    return _valid_cell_conv(xp, wp)
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _skinny_cell_conv(xp: jax.Array, wp: jax.Array, pad: int = 0) -> jax.Array:
+    """Cell-domain conv (``pad`` cells of window zero-padding) with a fast
+    input-gradient for skinny input lanes (the generator stem: 8 lanes). XLA
+    lowers the transposed conv for dx as a slow 8-lane VPU fusion (~2.7 ms
+    per chain apply at 64^3 on v5e); here dx is computed in the
+    S2D(2)-of-cells (= f4) domain where both operand lane counts are
+    MXU-wide, then split back — the identity VALID-conv(grid) ==
+    VALID-conv(cell pairs, remapped kernel). The weight gradient reuses
+    XLA's own (fast) lowering via jax.vjp."""
+    return _valid_cell_conv(xp, wp, pad)
 
 
-def _scc_fwd(xp, wp):
-    return _valid_cell_conv(xp, wp), (xp, wp)
+def _scc_fwd(xp, wp, pad):
+    return _valid_cell_conv(xp, wp, pad), (xp, wp)
 
 
-def _scc_bwd(res, gy):
+def _scc_bwd(pad, res, gy):
     xp, wp = res
-    _, vjp_w = jax.vjp(lambda W: _valid_cell_conv(xp, W), wp)
+    _, vjp_w = jax.vjp(lambda W: _valid_cell_conv(xp, W, pad), wp)
     (dwp,) = vjp_w(gy)
 
     K = wp.shape[0]
     fi = xp.shape[-1]
     fo = wp.shape[-1]
-    # dxp[p] = sum_u wp[u] gy[p - u]  (full correlation, gy zero outside)
-    #        = VALID-conv(zeropad(gy, K-1), flip(wp)^T)
-    # computed over paired cells: pad (K-1)/2 pair-cells, kernel remapped.
+    # dxpad[p] = sum_u wp[u] gy[p - u]  (full correlation, gy zero outside)
+    #          = conv(gy, flip(wp)^T, window-pad K-1) — the gradient wrt the
+    # zero-PADDED input; the window-pad cells are then sliced back off.
+    # Computed over paired cells: (K-1)/2 pair-cells of window padding.
     gy4 = space_to_depth(gy, 2)  # pair the grid cells: lanes (offset, fo)
-    gy4 = zero_pad_cells(gy4, (K - 1) // 2)
     wt = jnp.flip(wp, (0, 1, 2)).transpose(0, 1, 2, 4, 3)  # (K.., fo, fi)
     w2 = remap_weight_s2d(wt, 2)  # (ku2.., 8*fo, 8*fi)
-    dxp4 = _valid_cell_conv(gy4, w2)
+    dxp4 = _valid_cell_conv(gy4, w2, (K - 1) // 2)
     dxp = depth_to_space(dxp4, 2)  # lanes (pair parity, fi) -> f2 cells
+    if pad:
+        dxp = dxp[:, pad:-pad, pad:-pad, pad:-pad, :]
     return dxp.astype(xp.dtype), dwp
 
 
@@ -215,8 +299,10 @@ def conv3d_s2d_cells(xc: jax.Array, w: jax.Array, f: int = 4,
     if pad_mode == "edge":
         assert not ci_split, "ci_split supports zero padding only"
         xp = edge_pad_cells(xc, f, pad // f, ci)
+        wpad = 0
     else:
-        xp = zero_pad_cells(xc, pad // f)
+        xp = xc  # zero padding rides the conv's window padding (no copy)
+        wpad = pad // f
     shift = pad - half  # folded into the tap index (see conv3d_s2d)
     wz = jnp.pad(w, ((shift, 0),) * 3 + ((0, 0), (0, 0))) if shift else w
     if ci_split:
@@ -228,13 +314,13 @@ def conv3d_s2d_cells(xc: jax.Array, w: jax.Array, f: int = 4,
         wp = jnp.concatenate(parts, axis=3)
     else:
         wp = remap_weight_s2d(wz, f)
-    out_cells = xp.shape[1] - wp.shape[0] + 1
+    out_cells = xp.shape[1] + 2 * wpad - wp.shape[0] + 1
     if (f == 2 and xp.shape[-1] <= 16 and wp.shape[0] % 2 == 1
             and out_cells % 2 == 0):
         # skinny input lanes (the generator stem): fast custom-VJP dx
-        out = _skinny_cell_conv(xp, wp)
+        out = _skinny_cell_conv(xp, wp, wpad)
     else:
-        out = _valid_cell_conv(xp, wp)
+        out = _valid_cell_conv(xp, wp, wpad)
     return depth_to_space(out, f) if d2s else out
 
 
@@ -352,8 +438,7 @@ def _head_s2_bwd(res, gy):
     W4 = remap_weight_s2d(w4src, 4)  # (ku,ku,ku, 64*ci, 64*co)
     ku = W4.shape[0]
     WT = jnp.flip(W4, (0, 1, 2)).transpose(0, 1, 2, 4, 3)
-    gyp = zero_pad_cells(gy, ku - 1)
-    dxp4 = _valid_cell_conv(gyp, WT)  # (N, half-cells.., 64*ci)
+    dxp4 = _valid_cell_conv(gy, WT, ku - 1)  # (N, half-cells.., 64*ci)
     dxp = regroup_cells(dxp4, 4, 2, ci)
     # (A Pallas kernel fusing this conv + the f4->f2 regroup ran at 0.45
     # ms/elem — 3x faster than this pair in isolation — but its layout

@@ -108,6 +108,32 @@ def test_edge_pad_cells_matches_true_edge_pad():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_edge_pad_cells_forms_and_vjp_agree():
+    """edge_pad_cells has a mixed lowering (frame-form forward, concat-form
+    adjoint via custom_vjp). Pin: (a) frame forward == concat forward, and
+    (b) the custom VJP == autodiff of the plain concat form — i.e. the exact
+    adjoint of the (linear) padding map."""
+    from mra_gan_tpu.ops.s2d import (_edge_pad_cells_concat,
+                                     _edge_pad_cells_frame, edge_pad_cells,
+                                     space_to_depth)
+
+    rng = np.random.RandomState(11)
+    for f, pad_cells, c in [(2, 2, 3), (4, 1, 2)]:
+        x = jnp.asarray(rng.randn(2, 8, 8, 8, c).astype(np.float32))
+        xc = space_to_depth(x, f)
+        np.testing.assert_array_equal(
+            np.asarray(_edge_pad_cells_frame(xc, f, pad_cells, c)),
+            np.asarray(_edge_pad_cells_concat(xc, f, pad_cells, c)))
+        ct = jnp.asarray(rng.randn(
+            *edge_pad_cells(xc, f, pad_cells, c).shape).astype(np.float32))
+        g_got = jax.grad(
+            lambda z: jnp.sum(edge_pad_cells(z, f, pad_cells, c) * ct))(xc)
+        g_ref = jax.grad(
+            lambda z: jnp.sum(_edge_pad_cells_concat(z, f, pad_cells, c)
+                              * ct))(xc)
+        np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_ref))
+
+
 def test_regroup_cells_exact():
     from mra_gan_tpu.ops.s2d import depth_to_space, regroup_cells, space_to_depth
 
