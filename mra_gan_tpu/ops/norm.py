@@ -21,13 +21,29 @@ import jax.numpy as jnp
 SPATIAL_AXES = (1, 2, 3)  # D,H,W of NDHWC
 
 
+def _flat_spatial_mean_f32(t: jax.Array) -> jax.Array:
+    """Mean over spatial dims -> (N, C) float32.
+
+    Measured dead end (round 5, v5e): reformulating this as a ones-vector
+    dot_general with preferred_element_type=f32 — hoping the MXU's f32
+    accumulation of the bf16 operand would kill the f32 materialize+copy
+    the batch-1 backward stats pay (134 copies, 1.57 GB/step) — compiles to
+    the IDENTICAL program: XLA canonicalizes the vector contraction back to
+    convert+reduce (f32 copy count/bytes and step times unchanged to 0.4%
+    in an interleaved A/B). Don't retry via jnp-level rewrites."""
+    return jnp.mean(t, axis=SPATIAL_AXES, dtype=jnp.float32)
+
+
 def _spatial_mean(t: jax.Array, dtype=None) -> jax.Array:
     """Mean over the spatial dims; under core.spatial_ctx.spatial_sharding
     the local mean is pmean-ed across the depth-shard axis (uniform shards),
     giving exact global per-(sample, channel) statistics."""
     from ..core.spatial_ctx import spatial_shard_info
 
-    m = jnp.mean(t, axis=SPATIAL_AXES, keepdims=True, dtype=dtype)
+    if dtype == jnp.float32:
+        m = _flat_spatial_mean_f32(t)[:, None, None, None, :]
+    else:
+        m = jnp.mean(t, axis=SPATIAL_AXES, keepdims=True, dtype=dtype)
     info = spatial_shard_info()
     if info is not None:
         m = jax.lax.pmean(m, info[0])
@@ -146,7 +162,7 @@ def _group_mean(t: jax.Array, groups: int) -> jax.Array:
     (N,...,groups*C) -> (N,1,1,1,groups*C) float32, per-(n,c) values tiled.
     The float32 accumulation fuses into the reduce — the big tensor is never
     upcast in memory."""
-    m = jnp.mean(t, axis=SPATIAL_AXES, dtype=jnp.float32)  # (N, groups*C)
+    m = _flat_spatial_mean_f32(t)  # (N, groups*C)
     n, L = m.shape
     c = L // groups
     m = jnp.mean(m.reshape(n, groups, c), axis=1)  # (N, C)
