@@ -102,15 +102,16 @@ def _to_torch(x: np.ndarray) -> "torch.Tensor":
     return torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)))
 
 
-def _import_state(model, cfg: CycleGANConfig, tmp_path):
+def _import_state(model, cfg: CycleGANConfig, tmp_path, g_arch="resnet"):
     """Identical initial weights: export the live torch nets' state dicts and
     import them into a fresh CycleGANState (Adam moments start at zero in
-    both frameworks)."""
+    both frameworks). ``g_arch`` names the checkpoint layout of the two
+    generators ("resnet" here; "Dynet" for test_quality_parity's variant)."""
     state = create_state(cfg, jax.random.PRNGKey(0), PATCH)
     g_params, d_params = {}, {}
     for slot, net, arch, tree in (
-            ("g_a", model.netG_A, "resnet", state.g_params),
-            ("g_b", model.netG_B, "resnet", state.g_params),
+            ("g_a", model.netG_A, g_arch, state.g_params),
+            ("g_b", model.netG_B, g_arch, state.g_params),
             ("d_a", model.netD_A, "n_layers", state.d_params),
             ("d_b", model.netD_B, "n_layers", state.d_params)):
         pth = tmp_path / f"{slot}.pth"
